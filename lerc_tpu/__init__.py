@@ -2,6 +2,33 @@
 
 Built from scratch in JAX/XLA/Pallas with full wire compatibility with the
 reference Esri/lerc C++ library (codec Lerc1 and Lerc2 v1-v6).
+
+The numpy-facing API mirrors the reference `lerc` Python package:
+encode / encode_4D / encode_ma, decode / decode_4D / decode_ma,
+getLercBlobInfo[_4D], getLercDataRanges, plus pythonic compress/decompress.
 """
+
+from .api import (
+    compress,
+    convert2ma,
+    decode,
+    decode_4D,
+    decode_ma,
+    decompress,
+    encode,
+    encode_4D,
+    encode_ma,
+    findDataRange,
+    findDataRange_ma,
+    findMaxZError,
+    findMaxZError_4D,
+    findMaxZError_ma,
+    getLercBlobInfo,
+    getLercBlobInfo_4D,
+    getLercDataRanges,
+    getLercDatatype,
+    getLercShape,
+)
+from .constants import DataType, ErrCode
 
 __version__ = "0.1.0"

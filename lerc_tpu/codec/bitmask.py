@@ -13,8 +13,19 @@ def mask_size_bytes(n_cols: int, n_rows: int) -> int:
 
 
 def bool_to_bits(mask: np.ndarray) -> np.ndarray:
-    """[nRows, nCols] or flat bool array -> packed uint8 bit array (MSB-first)."""
-    return np.packbits(mask.ravel().astype(bool))
+    """[nRows, nCols] or flat bool array -> packed uint8 bit array (MSB-first).
+
+    Trailing pad bits in the last byte are set to 1, matching the reference
+    encoder's SetAllValid-then-clear construction (BitMask.cpp:54-62) so the
+    RLE'd mask section is byte-identical.
+    """
+    flat = mask.ravel().astype(bool)
+    bits = np.packbits(flat)
+    pad = (-flat.size) % 8
+    if pad:
+        bits = bits.copy()
+        bits[-1] |= (1 << pad) - 1
+    return bits
 
 
 def bits_to_bool(bits: np.ndarray | bytes, n_cols: int, n_rows: int) -> np.ndarray:

@@ -1,0 +1,105 @@
+"""Public API tests, modeled on the reference binding's built-in test()
+(_lerc.py:799-1045): 3D float nDepth=3, 3-band float with mask, 4D with
+noData/mixed case via both _4D and _ma entry points."""
+import numpy as np
+import pytest
+
+import lerc_tpu as lerc
+
+from . import oracle
+
+
+def test_roundtrip_3d_ndepth():
+    # test case 1 of _lerc.py: 2D float with nDepth 3
+    w, h, n_dep = 100, 80, 3
+    x = np.linspace(0, 5, w)[None, :, None]
+    y = np.linspace(0, 4, h)[:, None, None]
+    d = np.arange(n_dep)[None, None, :]
+    data = (np.sin(x + d) * np.cos(y) * 50 + x * y).astype(np.float64)
+    result, n_bytes, blob = lerc.encode_4D(data, n_dep, None, 0.001, data.nbytes)
+    assert result == 0 and n_bytes == len(blob)
+    (result, version, dt, nvpp, n_cols, n_rows, n_bands, n_valid, blob_size,
+     n_masks, z_min, z_max, mze_used, n_uses_nd) = lerc.getLercBlobInfo_4D(blob)
+    assert result == 0
+    assert (n_cols, n_rows, n_bands, nvpp) == (w, h, 1, n_dep)
+    assert blob_size == len(blob)
+    result, arr, mask, nd = lerc.decode_4D(blob)
+    assert result == 0
+    assert arr.shape == (h, w, n_dep)
+    assert lerc.findMaxZError_4D(data, arr, mask, 1) <= 0.001 * 1.1
+    # data ranges without decode
+    result, mins, maxs = lerc.getLercDataRanges(blob, n_dep, 1)
+    assert result == 0
+    for k in range(n_dep):
+        assert mins[0, k] <= data[:, :, k].min() <= maxs[0, k]
+
+
+def test_roundtrip_masked_multiband():
+    rng = np.random.default_rng(3)
+    n_bands, h, w = 3, 60, 70
+    data = rng.normal(100, 30, (n_bands, h, w)).astype(np.float32)
+    mask = rng.random((h, w)) > 0.2
+    result, n_bytes, blob = lerc.encode(data, 1, True, mask, 0.01, data.nbytes * 2)
+    assert result == 0
+    result, arr, dec_mask = lerc.decode(blob)
+    assert result == 0
+    assert arr.shape == (n_bands, h, w)
+    assert np.array_equal(dec_mask, mask)
+    assert lerc.findMaxZError_4D(data, arr, dec_mask, n_bands) <= 0.011
+
+
+def test_masked_array_roundtrip_with_nodata():
+    # 4D mixed-case: some values valid, others noData at same pixel
+    rng = np.random.default_rng(5)
+    n_bands, h, w, n_dep = 2, 30, 40, 2
+    data = rng.normal(50, 10, (n_bands, h, w, n_dep))
+    amask = rng.random(data.shape) < 0.15  # masked values
+    npma = np.ma.array(data, mask=amask)
+    nodata = np.ma.array([-9999.0, -9999.0], mask=[False, False])
+    result, n_bytes, blob = lerc.encode_ma(npma, n_dep, 0.001, int(data.nbytes * 2), nodata)
+    assert result == 0
+    result, npma_dec, nvpp, nd_dec = lerc.decode_ma(blob)
+    assert result == 0
+    assert nvpp == n_dep
+    # masked values must still be masked, valid values within tolerance
+    err = lerc.findMaxZError_ma(npma, npma_dec)
+    assert err <= 0.001 * 1.1
+    assert np.array_equal(np.ma.getmaskarray(npma_dec), amask)
+
+
+def test_mixed_case_without_nodata_fails():
+    rng = np.random.default_rng(6)
+    data = rng.normal(0, 1, (20, 20, 3))
+    amask = np.zeros(data.shape, bool)
+    amask[5, 5, 1] = True  # mixed case at one pixel
+    npma = np.ma.array(data, mask=amask)
+    rv = lerc.encode_ma(npma, 3, 0.0, int(data.nbytes * 2), None)
+    assert rv[0] == int(lerc.ErrCode.HAS_NO_DATA)
+
+
+def test_interop_with_reference_binding_blobs():
+    if not oracle.available():
+        pytest.skip("reference lib not built")
+    rng = np.random.default_rng(8)
+    data = (rng.random((50, 60)) * 1000).astype(np.float32)
+    # our api encode -> reference decode
+    result, n, blob = lerc.encode(data, 1, False, None, 0.1, data.nbytes * 2)
+    assert result == 0
+    ref_dec, _, _, _ = oracle.decode(blob)
+    r2, arr, _ = lerc.decode(blob)
+    assert np.array_equal(ref_dec[0, :, :, 0], arr)
+
+
+def test_compress_decompress_pythonic():
+    rng = np.random.default_rng(9)
+    data = (rng.random((3, 40, 50)) * 100).astype(np.float32)
+    blob = lerc.compress(data, 0.001)
+    out, mask = lerc.decompress(blob)
+    assert out.shape == data.shape
+    assert np.abs(out - data).max() <= 0.0011
+    assert mask.all()
+
+
+def test_blob_info_errors():
+    rv = lerc.getLercBlobInfo(b"garbage not a lerc blob")
+    assert rv[0] == int(lerc.ErrCode.FAILED)

@@ -1,0 +1,217 @@
+"""M2 tests: our encoder's blobs decode correctly in the REFERENCE library
+(strong check: checksum + integrity bits + sizes), agree with our own decoder,
+and respect the error bound. Where our heuristics coincide with the
+reference's deterministic choices, blobs are byte-identical."""
+import numpy as np
+import pytest
+
+from lerc_tpu.codec.encode_orchestrator import encode_blob, LercEncodeError
+from lerc_tpu.codec.orchestrator import decode_blob
+
+from . import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference lib not built")
+
+RNG = np.random.default_rng(7)
+DTYPES = [np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32, np.float32, np.float64]
+
+
+def make_data(dtype, n_bands, n_rows, n_cols, n_depth, kind="smooth"):
+    x = np.linspace(0, 6, n_cols)[None, None, :, None]
+    y = np.linspace(0, 4, n_rows)[None, :, None, None]
+    b = np.arange(n_bands)[:, None, None, None].astype(np.float64)
+    d = np.arange(n_depth)[None, None, None, :].astype(np.float64)
+    if kind == "smooth":
+        base = 100 * np.sin(x + b) * np.cos(y - d) + 20 * x * y
+    elif kind == "noisy":
+        base = RNG.normal(0, 50, (n_bands, n_rows, n_cols, n_depth))
+    elif kind == "segmented":
+        base = (np.floor(x * 2) + np.floor(y * 3) + b + d) * 10
+    else:
+        raise ValueError(kind)
+    base = np.broadcast_to(base, (n_bands, n_rows, n_cols, n_depth))
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.round(base), max(info.min, -1000), min(info.max, 1000)).astype(dtype)
+    return base.astype(dtype)
+
+
+def check_roundtrip(data, masks, mze, version=-1, uses_nodata=None, nodata=None,
+                    expect_identical=False):
+    n_bands, n_rows, n_cols, n_depth = data.shape
+    blob = encode_blob(data, masks, mze, version=version,
+                       uses_no_data=uses_nodata, no_data_values=nodata)
+    # 1. the reference library accepts and decodes our blob
+    ref_dec, ref_masks, ref_un, ref_nd = oracle.decode(blob)
+    # 2. our decoder agrees bit-exactly with the reference decoding our blob
+    res = decode_blob(blob)
+    assert np.array_equal(res.data, ref_dec)
+    # 3. error bound at valid pixels (reference tolerance: cast slop, 1.1x)
+    eff = mze
+    if np.issubdtype(data.dtype, np.integer):
+        eff = max(0.5, np.floor(mze)) if mze != 777 else None
+    if eff is not None:
+        valid = np.broadcast_to(res.masks[:, :, :, None], data.shape)
+        sel = valid & ~np.isnan(data)
+        if uses_nodata is not None:
+            for i in range(n_bands):
+                if uses_nodata[i]:
+                    sel[i] &= data[i] != nodata[i]
+        err = np.abs(ref_dec.astype(np.float64) - data.astype(np.float64))[sel]
+        if err.size:
+            assert err.max() <= eff * 1.1 + 1e-12, f"error {err.max()} > {eff}"
+    # 4. noData values survive
+    if uses_nodata is not None:
+        for i in range(n_bands):
+            if ref_un[i]:
+                nd_pos = data[i] == nodata[i]
+                nd_pos &= res.masks[i][:, :, None]
+                assert np.array_equal(ref_dec[i][nd_pos], data[i][nd_pos])
+    # 5. byte-identity with the reference encoder where expected. Two paths
+    # legitimately diverge: the fpl float-lossless path picks its own
+    # predictors/levels (often smaller than the reference), and the 8-bit
+    # Huffman path can break weight ties differently than std::priority_queue
+    # (same symbol lengths overall, different assignment) -- there we check
+    # size instead.
+    if expect_identical:
+        huffman_path = data.dtype in (np.int8, np.uint8) and mze <= 0.5
+        fpl_path = np.issubdtype(data.dtype, np.floating) and mze == 0
+        if not fpl_path:
+            ref_blob = oracle.encode(np.ascontiguousarray(data), n_depth, n_cols, n_rows,
+                                     n_bands, masks, mze, version=version,
+                                     uses_nodata=uses_nodata, nodata=nodata)
+            if huffman_path:
+                assert abs(len(blob) - len(ref_blob)) <= max(16, 0.02 * len(ref_blob))
+            else:
+                assert blob == ref_blob, f"blob differs: ours {len(blob)}B ref {len(ref_blob)}B"
+    return blob, res
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("mze", [0.0, 0.001, 0.1, 1.0])
+def test_all_dtypes(dtype, mze):
+    data = make_data(dtype, 1, 67, 83, 1)
+    check_roundtrip(data, None, mze, expect_identical=True)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32, np.float64])
+def test_masked(dtype):
+    data = make_data(dtype, 1, 64, 72, 1)
+    mask = (RNG.random((1, 64, 72)) > 0.35).astype(np.uint8)
+    check_roundtrip(data, mask, 0.01 if dtype == np.float32 else 0.0, expect_identical=True)
+
+
+@pytest.mark.parametrize("n_bands,per_band", [(2, False), (3, True)])
+def test_multiband_mask_dedup(n_bands, per_band):
+    data = make_data(np.float32, n_bands, 40, 56, 1)
+    shape = (n_bands if per_band else 1, 40, 56)
+    masks = (RNG.random(shape) > 0.3).astype(np.uint8)
+    check_roundtrip(data, masks, 0.001, expect_identical=True)
+
+
+@pytest.mark.parametrize("n_depth", [2, 3, 8])
+def test_ndepth(n_depth):
+    data = make_data(np.float32, 2, 33, 47, n_depth)
+    check_roundtrip(data, None, 0.01, expect_identical=True)
+
+
+def test_ndepth_int_lossless():
+    # int lossless nDepth > 1: reference uses depth-diff encoding (we don't yet),
+    # so blobs are valid but not byte-identical
+    data = make_data(np.int16, 1, 33, 47, 4)
+    check_roundtrip(data, None, 0.0)
+
+
+def test_const_image():
+    for dtype in (np.uint8, np.float32):
+        data = np.full((1, 30, 31, 1), 7, dtype=dtype)
+        check_roundtrip(data, None, 0.0, expect_identical=True)
+
+
+def test_empty_and_full_masks():
+    data = make_data(np.float32, 1, 25, 26, 1)
+    check_roundtrip(data, np.zeros((1, 25, 26), np.uint8), 0.01, expect_identical=True)
+    check_roundtrip(data, np.ones((1, 25, 26), np.uint8), 0.01, expect_identical=True)
+
+
+def test_huffman_and_segmented_paths():
+    data = make_data(np.uint8, 1, 90, 110, 1)
+    check_roundtrip(data, None, 0.0, expect_identical=True)
+    cdata = make_data(np.int8, 1, 90, 110, 1)
+    check_roundtrip(cdata, None, 0.0, expect_identical=True)
+    seg = make_data(np.float32, 1, 80, 80, 1, kind="segmented")
+    check_roundtrip(seg, None, 0.5, expect_identical=True)
+
+
+def test_noisy_one_sweep():
+    data = make_data(np.float64, 1, 50, 50, 1, kind="noisy")
+    check_roundtrip(data, None, 0.0, expect_identical=True)
+
+
+def test_nan_handling():
+    data = make_data(np.float32, 1, 40, 40, 1)
+    data[0, 5:10, 5:10, 0] = np.nan
+    blob, res = check_roundtrip(data, None, 0.001, expect_identical=True)
+    assert not res.masks[0, 5:10, 5:10].any()
+
+
+def test_nodata_4d_mixed():
+    data = make_data(np.float32, 2, 30, 40, 3)
+    ndv = -9999.0
+    sel = RNG.random(data.shape) < 0.1
+    data[sel] = ndv
+    uses = np.ones(2, dtype=np.uint8)
+    ndvals = np.full(2, ndv)
+    check_roundtrip(data, None, 0.0, uses_nodata=uses, nodata=ndvals, expect_identical=True)
+    # lossy with remapping
+    check_roundtrip(data, None, 0.01, uses_nodata=uses, nodata=ndvals, expect_identical=True)
+
+
+def test_nodata_int():
+    data = make_data(np.int16, 1, 30, 40, 2)
+    data[0, ::3, ::4, 0] = -999
+    uses = np.ones(1, dtype=np.uint8)
+    ndvals = np.array([-999.0])
+    check_roundtrip(data, None, 0.0, uses_nodata=uses, nodata=ndvals, expect_identical=True)
+
+
+@pytest.mark.parametrize("version", [2, 3, 4, 5])
+def test_old_versions(version):
+    data = make_data(np.float32, 2, 45, 61, 1)
+    mask = (RNG.random((1, 45, 61)) > 0.3).astype(np.uint8)
+    check_roundtrip(data, mask, 0.001, version=version, expect_identical=True)
+    bdata = make_data(np.uint8, 1, 45, 61, 1)
+    check_roundtrip(bdata, None, 0.0, version=version, expect_identical=True)
+
+
+def test_bitplane_cheat_code():
+    data = make_data(np.int16, 1, 100, 100, 1)
+    noisy = data + RNG.integers(0, 2, data.shape).astype(np.int16)
+    check_roundtrip(noisy, None, 777, expect_identical=True)
+
+
+def test_float_lossless_fpl():
+    data = make_data(np.float32, 1, 100, 120, 1)
+    blob, _ = check_roundtrip(data, None, 0.0)
+    # fpl should beat raw tiling for smooth float data
+    assert len(blob) < data.nbytes * 0.8
+
+
+def test_maxzerror_autoraise():
+    # data pre-truncated to 2 decimals -> encoder may raise maxZError
+    data = np.round(make_data(np.float32, 1, 60, 60, 1) * 100) / 100
+    data = data.astype(np.float32)
+    check_roundtrip(data, None, 0.0001, expect_identical=True)
+
+
+def test_errors():
+    with pytest.raises(LercEncodeError):
+        encode_blob(make_data(np.float32, 1, 10, 10, 1), None, -1.0)
+    with pytest.raises(LercEncodeError):
+        encode_blob(np.zeros((10, 10), np.float32), None, 0.0)
+
+
+def test_1x1_and_odd_shapes():
+    for shape in [(1, 1, 1, 1), (1, 7, 13, 1), (1, 8, 8, 1), (1, 9, 17, 2)]:
+        data = make_data(np.float32, *shape)
+        check_roundtrip(data, None, 0.001, expect_identical=True)

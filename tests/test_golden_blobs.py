@@ -34,3 +34,29 @@ def test_golden_decode_bit_exact(name):
     assert info.num_valid_pixel == ref_info["nValidPixels"]
     assert abs(info.z_min - ref_info["zMin"]) < 1e-9
     assert abs(info.z_max - ref_info["zMax"]) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "name", ["california_400_400_1_float.lerc2", "bluemarble_256_256_3_byte.lerc2"]
+)
+def test_golden_reencode_roundtrip(name):
+    """BASELINE config: decode golden blob, re-encode lossless with our encoder,
+    decode with the REFERENCE library, require bit-exact pixels + masks."""
+    from lerc_tpu.codec.encode_orchestrator import encode_blob
+
+    with open(os.path.join(TESTDATA, name), "rb") as f:
+        blob = f.read()
+    res = decode_blob(blob)
+    masks = res.masks.astype(np.uint8)
+    n_masks = masks.shape[0]
+    if np.all(masks == masks[0:1]):
+        masks = masks[0:1]
+    our_blob = encode_blob(res.data, masks, 0.0)
+    ref_data, ref_masks, _, _ = oracle.decode(our_blob)
+    assert np.array_equal(ref_data, res.data)
+    if ref_masks is not None:
+        assert np.array_equal(ref_masks.astype(bool)[0], res.masks[0])
+    # and our own decoder agrees
+    res2 = decode_blob(our_blob)
+    assert np.array_equal(res2.data, res.data)
+    assert np.array_equal(res2.masks, res.masks)
