@@ -1,0 +1,248 @@
+"""Device-accelerated band codec: JAX/XLA kernels for the tiling path,
+native scanner for the serial record chain, host assembly for the tiny
+header/mask/ranges sections.
+
+Encode differences vs the host BandEncoder (all produce valid wire format,
+documented in ops/device_encode.py): no LUT blocks, no 16x16 retrial, no
+maxZError auto-raise, no whole-image Huffman (8-bit) / fpl (float lossless)
+candidates -- callers route those cases to the host encoder.
+"""
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, dt_is_int
+from ..ops import device_decode, device_encode
+from .. import native
+from . import fletcher32, header as hdr, rle
+from .bitmask import bits_to_bool, bool_to_bits, mask_size_bytes
+from .lerc2_decode import DecodedBand
+
+
+def _round_cap(n: int) -> int:
+    """Round capacity up to limit recompilation across similar sizes."""
+    cap = 1 << max(12, (n - 1).bit_length())
+    return cap
+
+
+def supports_encode(dt: DataType, max_z_error: float, n_depth: int) -> bool:
+    if dt == DataType.DOUBLE:
+        return False
+    if dt in (DataType.BYTE, DataType.CHAR) and max_z_error <= 0.5:
+        return False  # Huffman candidate -> host
+    if dt == DataType.FLOAT and max_z_error == 0:
+        return False  # fpl candidate -> host
+    return True
+
+
+def encode_band_device(
+    data,  # [H, W, D] numpy or jax array
+    mask: np.ndarray | None,
+    max_z_error: float,
+    version: int = 6,
+    encode_mask: bool = True,
+    n_blobs_more: int = 0,
+) -> bytes:
+    np_dtype = np.dtype(data.dtype)
+    dt = NUMPY_TO_DT[np_dtype]
+    h, w, d = data.shape
+    if not supports_encode(dt, max_z_error, d):
+        raise ValueError("configuration not supported by the device encoder")
+
+    mze = float(max_z_error)
+    if dt_is_int(dt):
+        mze = max(0.5, np.floor(mze))
+
+    all_valid = mask is None or bool(np.asarray(mask).all())
+    if all_valid:
+        num_valid = h * w
+        mask_np = np.ones((h, w), dtype=bool)
+    else:
+        mask_np = np.asarray(mask, dtype=bool)
+        num_valid = int(mask_np.sum())
+
+    dev_dtype = jnp.int32 if dt_is_int(dt) else jnp.float32
+    data_dev = jnp.asarray(np.asarray(data), dtype=dev_dtype) if not isinstance(data, jax.Array) else data.astype(dev_dtype)
+    mask_dev = jnp.asarray(mask_np)
+
+    n_rec = (-(-h // 8)) * (-(-w // 8)) * d
+    cap = _round_cap(num_valid * DT_SIZE[dt] * d + n_rec * 12 + 4096)
+
+    stream, total, zmin_vec, zmax_vec = device_encode.encode_tiles(
+        data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap
+    )
+    total = int(total)
+    if total > cap:
+        raise ValueError("device encode capacity exceeded")
+    zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
+    zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
+
+    head = hdr.HeaderInfo(
+        version=version, n_rows=h, n_cols=w, n_depth=d, num_valid_pixel=num_valid,
+        micro_block_size=8, dt=dt, max_z_error=mze,
+        n_blobs_more=n_blobs_more if version >= 6 else 0,
+    )
+
+    # mask section
+    need_mask = 0 < num_valid < h * w
+    if need_mask and encode_mask:
+        bits = bool_to_bits(mask_np)
+        mask_rle = native.rle_compress(bits) if native.available() else rle.compress(bits)
+        mask_section = struct.pack("<i", len(mask_rle)) + mask_rle
+    else:
+        mask_section = struct.pack("<i", 0)
+
+    np_dt = DT_TO_NUMPY[dt]
+
+    def assemble(ranges: bytes, body: bytes) -> bytes:
+        head.blob_size = hdr.header_size(version) + len(mask_section) + len(ranges) + len(body)
+        blob = bytearray(hdr.write_header(head))
+        blob += mask_section
+        blob += ranges
+        blob += body
+        if version >= 3:
+            skip = hdr.checksum_skip(version)
+            checksum = fletcher32.fletcher32(bytes(blob[skip:]))
+            struct.pack_into("<I", blob, skip - 4, checksum)
+        return bytes(blob)
+
+    if num_valid == 0:
+        return assemble(b"", b"")
+
+    head.z_min = float(zmin_vec.min())
+    head.z_max = float(zmax_vec.max())
+    if head.z_min == head.z_max:
+        return assemble(b"", b"")
+
+    ranges = b""
+    if version >= 4:
+        ranges = zmin_vec.astype(np_dt).tobytes() + zmax_vec.astype(np_dt).tobytes()
+        if np.array_equal(zmin_vec, zmax_vec):
+            return assemble(ranges, b"")
+
+    payload = np.asarray(stream)[:total].tobytes()  # fixed-shape transfer, host slice
+    n_one_sweep = DT_SIZE[dt] * d * num_valid
+    try_huffman = head.try_huffman_int() or head.try_huffman_flt()
+    if n_one_sweep <= total + (1 if try_huffman else 0):
+        body = b"\x01" + np.asarray(data)[mask_np].astype(np_dt).tobytes()
+    else:
+        body = b"\x00" + (b"\x00" if try_huffman else b"") + payload
+    return assemble(ranges, body)
+
+
+def decode_band_device(
+    buf: bytes | memoryview,
+    prev_mask: np.ndarray | None = None,
+    verify_checksum: bool = True,
+):
+    """Decode a single band using the native scanner + device kernels.
+    Returns DecodedBand or None if this blob needs the host path."""
+    if not native.available():
+        return None
+    src = memoryview(buf)
+    try:
+        head, pos = hdr.read_header(src)
+    except ValueError:
+        return None
+    if head.dt == DataType.DOUBLE or head.micro_block_size != 8:
+        return None
+    h, w, d = head.n_rows, head.n_cols, head.n_depth
+    np_dt = DT_TO_NUMPY[head.dt]
+
+    if head.version >= 3 and verify_checksum:
+        skip = hdr.checksum_skip(head.version)
+        if fletcher32.fletcher32(src[skip : head.blob_size]) != head.checksum:
+            raise ValueError("Lerc2 checksum mismatch")
+
+    num_bytes_mask = int.from_bytes(src[pos : pos + 4], "little", signed=True)
+    pos += 4
+    num_total = h * w
+    if head.num_valid_pixel == 0:
+        mask = np.zeros((h, w), dtype=bool)
+    elif head.num_valid_pixel == num_total:
+        mask = np.ones((h, w), dtype=bool)
+    elif num_bytes_mask > 0:
+        nb = mask_size_bytes(w, h)
+        bits = native.rle_decompress(
+            np.frombuffer(src[pos : pos + num_bytes_mask], np.uint8), nb
+        )
+        mask = bits_to_bool(bits, w, h)
+        pos += num_bytes_mask
+    else:
+        if prev_mask is None:
+            return None
+        mask = prev_mask.copy()
+
+    out = DecodedBand(head, mask, np.zeros((h, w, d), dtype=np_dt), None, None, head.blob_size)
+    if head.num_valid_pixel == 0:
+        return out
+    if head.z_min == head.z_max:
+        from .lerc2_decode import _fill_const
+
+        _fill_const(out)
+        return out
+    if head.version >= 4:
+        nb = d * DT_SIZE[head.dt]
+        out.z_min_vec = np.frombuffer(src[pos : pos + nb], dtype=np_dt).astype(np.float64)
+        pos += nb
+        out.z_max_vec = np.frombuffer(src[pos : pos + nb], dtype=np_dt).astype(np.float64)
+        pos += nb
+        if np.array_equal(out.z_min_vec, out.z_max_vec):
+            from .lerc2_decode import _fill_const
+
+            _fill_const(out)
+            return out
+
+    one_sweep = src[pos]
+    pos += 1
+    if one_sweep:
+        return None  # host path handles
+    if head.try_huffman_int() or head.try_huffman_flt():
+        flag = src[pos]
+        pos += 1
+        if flag != 0:
+            return None  # huffman / fpl -> host path
+
+    # native record scan over the tile stream
+    nbv, nbh = -(-h // 8), -(-w // 8)
+    n_blocks = nbv * nbh
+    padded = np.zeros((nbv * 8, nbh * 8), dtype=bool)
+    padded[:h, :w] = mask
+    vb = padded.reshape(nbv, 8, nbh, 8).transpose(0, 2, 1, 3).reshape(n_blocks, 64)
+    cnts = vb.sum(axis=1).astype(np.int32)
+    j0s = ((np.arange(n_blocks, dtype=np.int32) % nbh) * 8).astype(np.int32)
+    stream_np = np.frombuffer(src[pos : head.blob_size], dtype=np.uint8)
+    recs, used = native.tile_scan(stream_np, cnts, j0s, n_blocks, d, int(head.dt), head.version)
+    if (recs["mode"] >= 8).any():
+        return None  # depth-diff records -> host path
+    has_lut = bool((recs["mode"] == 4).any())
+
+    zmax_src = out.z_max_vec if out.z_max_vec is not None else np.full(d, head.z_max)
+    if dt_is_int(head.dt):
+        z_max_vec = np.round(zmax_src).astype(np.int32)
+        offsets = recs["offset"].astype(np.int32)  # exact: int offsets fit f64
+    else:
+        z_max_vec = zmax_src.astype(np.float32)
+        offsets = recs["offset"].astype(np.float32)
+
+    img = device_decode.decode_tiles(
+        jnp.asarray(stream_np),
+        jnp.asarray(recs["mode"]),
+        jnp.asarray(recs["payload_pos"].astype(np.int32)),
+        jnp.asarray(offsets),
+        jnp.asarray(recs["num_bits"]),
+        jnp.asarray(recs["num_elements"]),
+        jnp.asarray(recs["lut_pos"].astype(np.int32)),
+        jnp.asarray(recs["n_lut"]),
+        jnp.asarray(recs["nbits_lut"]),
+        jnp.asarray(mask),
+        jnp.float32(head.max_z_error),
+        jnp.asarray(z_max_vec),
+        h, w, d, head.dt, bool(mask.all()), has_lut,
+    )
+    out.data = np.asarray(img)
+    return out

@@ -22,6 +22,17 @@ def _rep(x_mod: int) -> int:
 
 
 def fletcher32(data: bytes | bytearray | memoryview | np.ndarray) -> int:
+    try:
+        from .. import native
+
+        if native.available():
+            return native.fletcher32(data)
+    except Exception:
+        pass
+    return _fletcher32_numpy(data)
+
+
+def _fletcher32_numpy(data: bytes | bytearray | memoryview | np.ndarray) -> int:
     buf = np.frombuffer(memoryview(data), dtype=np.uint8)
     n = buf.size
     nwords = n // 2

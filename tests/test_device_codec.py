@@ -1,0 +1,112 @@
+"""Device (JAX/XLA) codec tests on the virtual CPU backend, cross-checked
+against the reference library and the host codec. Shapes stay small to keep
+XLA compile times reasonable."""
+import numpy as np
+import pytest
+
+from lerc_tpu.codec.device_codec import (
+    decode_band_device,
+    encode_band_device,
+    supports_encode,
+)
+from lerc_tpu.codec.lerc2_encode import BandEncoder
+from lerc_tpu.codec.orchestrator import decode_blob
+from lerc_tpu import native
+
+from . import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference lib not built")
+
+H, W = 48, 41  # includes partial edge blocks
+
+
+def make(dtype, d=1, scale=100.0):
+    x, y = np.meshgrid(np.linspace(0, 10, W), np.linspace(0, 8, H))
+    base = np.stack([np.sin(x + i) * np.cos(y) * scale + x * y for i in range(d)], -1)
+    if np.issubdtype(dtype, np.integer):
+        return np.round(base).astype(dtype)
+    return base.astype(dtype)
+
+
+MASK = np.random.default_rng(0).random((H, W)) > 0.3
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_f32_lossy(masked):
+    data = make(np.float32)
+    mask = MASK if masked else None
+    blob = encode_band_device(data, mask, 0.001)
+    ref, refm, _, _ = oracle.decode(blob)
+    sel = MASK if masked else np.ones((H, W), bool)
+    err = np.abs(ref[0, :, :, 0].astype(np.float64) - data[:, :, 0])[sel].max()
+    assert err <= 0.001 * 1.1
+    if masked:
+        assert np.array_equal(refm[0].astype(bool), MASK)
+    # host decoder agrees with reference
+    res = decode_blob(blob)
+    assert np.array_equal(res.data[0], ref[0])
+    # device decoder within bound
+    db = decode_band_device(blob)
+    assert db is not None
+    derr = np.abs(db.data[:, :, 0].astype(np.float64) - data[:, :, 0])[sel].max()
+    assert derr <= 0.001 * 1.1
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.uint16, np.int32, np.uint8])
+def test_int_lossless_bit_exact(dtype):
+    data = make(dtype)
+    mze = 1.0 if dtype == np.uint8 else 0.0  # u8 lossless would route to Huffman/host
+    if not supports_encode(
+        __import__("lerc_tpu").constants.NUMPY_TO_DT[np.dtype(dtype)], mze, 1
+    ):
+        pytest.skip("host-routed config")
+    blob = encode_band_device(data, MASK, mze)
+    ref, _, _, _ = oracle.decode(blob)
+    if mze == 0.0:
+        assert np.array_equal(ref[0, :, :, 0][MASK], data[:, :, 0][MASK])
+    db = decode_band_device(blob)
+    assert np.array_equal(db.data, ref[0])  # integer decode is exact arithmetic
+
+
+def test_depth3():
+    data = make(np.float32, d=3)
+    blob = encode_band_device(data, MASK, 0.01)
+    ref, _, _, _ = oracle.decode(blob)
+    err = np.abs(ref[0].astype(np.float64) - data)[MASK].max()
+    assert err <= 0.011
+    db = decode_band_device(blob)
+    derr = np.abs(db.data.astype(np.float64) - ref[0].astype(np.float64))[MASK].max()
+    assert derr <= 2e-4  # f32 vs f64 reconstruction slop only
+
+
+def test_device_decodes_host_blobs_with_lut():
+    x, y = np.meshgrid(np.linspace(0, 10, W), np.linspace(0, 8, H))
+    seg = ((np.floor(x * 2) + np.floor(y * 3)) * 10).astype(np.float32)[:, :, None]
+    host_blob = BandEncoder(seg, None, 0.5).encode()
+    db = decode_band_device(host_blob)
+    assert db is not None
+    ref, _, _, _ = oracle.decode(host_blob)
+    assert np.array_equal(db.data, ref[0])
+
+
+def test_host_decodes_device_blobs_everywhere():
+    data = make(np.float32)
+    for mask in (None, MASK):
+        blob = encode_band_device(data, mask, 0.05)
+        res = decode_blob(blob)
+        ref, _, _, _ = oracle.decode(blob)
+        assert np.array_equal(res.data[0], ref[0])
+
+
+def test_fallback_routing():
+    # configs the device encoder refuses
+    from lerc_tpu.constants import DataType
+
+    assert not supports_encode(DataType.DOUBLE, 0.1, 1)
+    assert not supports_encode(DataType.BYTE, 0.0, 1)
+    assert not supports_encode(DataType.FLOAT, 0.0, 1)
+    assert supports_encode(DataType.FLOAT, 0.001, 1)
+    # device decoder bails to host on one-sweep blobs
+    noisy = np.random.default_rng(1).normal(0, 50, (H, W, 1)).astype(np.float32)
+    host_blob = BandEncoder(noisy, None, 0.0).encode()
+    assert decode_band_device(host_blob) is None  # fpl or one-sweep -> host
