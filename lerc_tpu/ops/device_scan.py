@@ -1,0 +1,245 @@
+"""Device-side record-offset scan via speculative sizing + pointer doubling.
+
+The Lerc2 tile stream is a serial chain: each record's length depends on its
+header bytes. Instead of a host scan, compute a speculative record size at
+EVERY byte position (pure gathers), build the jump array J[p] = p + size(p),
+and resolve the chain with log2(nRec) pointer-doubling steps -- the same
+scheme as the vectorized Huffman decoder. Only positions actually reachable
+from 0 carry meaning; garbage jumps elsewhere are never followed.
+
+Limitation: raw-mode records (code 0) have no in-stream length, so their
+size needs the block's valid count. This scan supports the uniform-count
+case (all-valid images, cnt == 64 for interior blocks); blobs from masked
+images with raw blocks route to the native host scanner instead. Edge
+blocks (image not a multiple of 8) also carry non-uniform counts -> caller
+checks the geometry.
+
+Used by the device-resident decode path (blob stays in HBM end to end).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DataType
+
+
+def _gather(stream_u32, idx):
+    return stream_u32[jnp.clip(idx, 0, stream_u32.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rec", "dt", "version", "cnt_uniform"))
+def scan_records_device(
+    stream,  # [S] uint8 tile stream (record 0 starts at byte 0)
+    n_rec: int,
+    dt: DataType,
+    version: int,
+    cnt_uniform: int = 64,
+):
+    """Returns per-record (positions, mode, offset_f32/int32, num_bits,
+    num_elements, payload_pos, lut_pos, n_lut, nbits_lut), all on device."""
+    s = stream.shape[0]
+    u = stream.astype(jnp.uint32)
+    is_int = dt < DataType.FLOAT
+    size_t = {DataType.CHAR: 1, DataType.BYTE: 1, DataType.SHORT: 2, DataType.USHORT: 2,
+              DataType.INT: 4, DataType.UINT: 4, DataType.FLOAT: 4}[dt]
+
+    p = jnp.arange(s, dtype=jnp.int32)
+    flag = u  # stream byte at p
+    code = (flag & 3).astype(jnp.int32)
+    bits67 = (flag >> 6).astype(jnp.int32)
+
+    # offset width per reduced dtype (float: tc2->1, tc1->2, tc0->4;
+    # int dtypes per Lerc2.h:457-492)
+    if not is_int:
+        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
+    elif dt in (DataType.CHAR, DataType.BYTE):
+        off_w = jnp.ones_like(bits67)
+    elif dt == DataType.SHORT:
+        off_w = jnp.where(bits67 > 0, 1, 2)
+    elif dt == DataType.USHORT:
+        off_w = jnp.where(bits67 > 0, 1, 2)
+    elif dt == DataType.INT:
+        off_w = jnp.where(bits67 == 3, 1, jnp.where(bits67 > 0, 2, 4))
+    else:  # UINT
+        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
+
+    # speculative bit-stuffer header at p + 1 + off_w
+    nbb_pos = p + 1 + off_w
+    nbb = _gather(u, nbb_pos)
+    cw_code = (nbb >> 6).astype(jnp.int32)
+    cw = jnp.where(cw_code == 0, 4, 3 - cw_code)
+    is_lut = (nbb & 32) > 0
+    nb = (nbb & 31).astype(jnp.int32)
+    ne = jnp.zeros(s, jnp.int32)
+    for i in range(4):
+        ne = ne | jnp.where(i < cw, _gather(u, nbb_pos + 1 + i) << (8 * i), 0).astype(jnp.int32)
+    ne = jnp.clip(ne, 0, 64 * 64)
+
+    stuff_bytes = (ne * nb + 7) >> 3
+    # LUT extras: 1 byte nLut+1, LUT table, indices at bitlen(nLut) bits
+    nlut_byte = _gather(u, nbb_pos + 1 + cw).astype(jnp.int32)
+    n_lut = nlut_byte - 1
+    nbits_lut = jnp.zeros(s, jnp.int32)
+    for i in range(8):
+        nbits_lut = nbits_lut + (n_lut >> i > 0).astype(jnp.int32)
+    lut_table_bytes = (n_lut * nb + 7) >> 3
+    lut_idx_bytes = (ne * nbits_lut + 7) >> 3
+
+    sz_simple = 1 + off_w + 1 + cw + stuff_bytes
+    sz_lut = 1 + off_w + 1 + cw + 1 + lut_table_bytes + lut_idx_bytes
+    sz_stuff = jnp.where(is_lut, sz_lut, sz_simple)
+    size = jnp.where(
+        code == 2, 1,
+        jnp.where(code == 3, 1 + off_w,
+                  jnp.where(code == 0, 1 + cnt_uniform * size_t, sz_stuff)),
+    )
+    size = jnp.clip(size, 1, s)
+
+    # pointer doubling over the jump chain
+    jump = jnp.minimum(p + size, s)
+    positions = jnp.zeros(n_rec, jnp.int32)
+    filled = 1
+    J = jnp.append(jump, s).astype(jnp.int32)  # sentinel at index s
+    while filled < n_rec:
+        take = min(filled, n_rec - filled)
+        positions = positions.at[filled : filled + take].set(
+            J[positions[:take]]
+        )
+        filled += take
+        if filled < n_rec:
+            J = J[jnp.minimum(J, s)]
+
+    # per-record descriptor extraction at the resolved positions
+    rp = positions
+    rflag = _gather(u, rp)
+    rcode = (rflag & 3).astype(jnp.int32)
+    rb67 = (rflag >> 6).astype(jnp.int32)
+    r_off_w = off_w[jnp.clip(rp, 0, s - 1)]
+    r_nbb_pos = rp + 1 + r_off_w
+    r_nbb = _gather(u, r_nbb_pos)
+    r_cw_code = (r_nbb >> 6).astype(jnp.int32)
+    r_cw = jnp.where(r_cw_code == 0, 4, 3 - r_cw_code)
+    r_is_lut = (r_nbb & 32) > 0
+    r_nb = (r_nbb & 31).astype(jnp.int32)
+    r_ne = jnp.zeros(n_rec, jnp.int32)
+    for i in range(4):
+        r_ne = r_ne | jnp.where(i < r_cw, _gather(u, r_nbb_pos + 1 + i) << (8 * i), 0).astype(jnp.int32)
+    r_nlut = (_gather(u, r_nbb_pos + 1 + r_cw).astype(jnp.int32) - 1)
+    r_nbits_lut = jnp.zeros(n_rec, jnp.int32)
+    for i in range(8):
+        r_nbits_lut = r_nbits_lut + (r_nlut >> i > 0).astype(jnp.int32)
+    lut_pos = r_nbb_pos + 1 + r_cw + 1
+    payload_pos = jnp.where(
+        rcode == 0, rp + 1,
+        jnp.where(
+            r_is_lut, lut_pos + ((r_nlut * r_nb + 7) >> 3), r_nbb_pos + 1 + r_cw
+        ),
+    )
+    mode = jnp.where(rcode == 1, jnp.where(r_is_lut, 4, 1), rcode)
+
+    # offset value (zMin) in the reduced dtype
+    ob = rp + 1
+    acc = jnp.zeros(n_rec, jnp.uint32)
+    for i in range(4):
+        acc = acc | jnp.where(i < r_off_w, _gather(u, ob + i) << jnp.uint32(8 * i), 0)
+    if not is_int:
+        # tc2: byte; tc1: int16; tc0: f32 bit pattern
+        off_f32 = jax.lax.bitcast_convert_type(acc, jnp.float32)
+        i16 = ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16
+        offset = jnp.where(
+            rb67 == 2, (acc & 0xFF).astype(jnp.float32),
+            jnp.where(rb67 == 1, i16.astype(jnp.float32), off_f32),
+        )
+    else:
+        # sign-extend per reduced width; unsigned reduced types zero-extend
+        w8 = (r_off_w == 1)
+        w16 = (r_off_w == 2)
+        # which reduced dtype is signed depends on dt and tc; for widths that
+        # came from DT reduction: byte (unsigned) and char (signed) both 1B.
+        if dt == DataType.SHORT:
+            signed8 = rb67 == 2
+        else:
+            signed8 = jnp.zeros(n_rec, bool)
+        s8 = jnp.where(signed8, ((acc & 0xFF) << 24).astype(jnp.int32) >> 24,
+                       (acc & 0xFF).astype(jnp.int32))
+        if dt == DataType.INT:
+            signed16 = rb67 == 2  # reduced to short
+        elif dt == DataType.SHORT:
+            signed16 = rb67 == 0  # full-width short offset
+        else:
+            signed16 = jnp.zeros(n_rec, bool)
+        s16 = jnp.where(signed16, ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16,
+                        (acc & 0xFFFF).astype(jnp.int32))
+        if dt in (DataType.CHAR,):
+            s8 = ((acc & 0xFF) << 24).astype(jnp.int32) >> 24
+        offset = jnp.where(w8, s8, jnp.where(w16, s16, acc.astype(jnp.int32)))
+
+    return (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut)
+
+
+def _mod_sum65535(x):
+    """Hierarchical sum mod 65535 of uint32 entries (each < 65535)."""
+    while x.size > 128:
+        pad = (-x.size) % 128
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros(pad, jnp.uint32)])
+        x = x.reshape(-1, 128).sum(axis=1) % 65535
+    return x.sum() % 65535
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fletcher32_device(prefix, stream, total):
+    """Device Fletcher32 (Lerc2 flavor) over prefix || stream[:total].
+
+    prefix: small uint8 array (the host-built header tail after the checksum
+    field); stream: fixed-capacity device byte array zeroed past `total`.
+    Returns the uint32 checksum. Exactly matches the reference's serial
+    fold-every-359-words loop via the always-positive mod-65535
+    representative (0 -> 0xffff).
+    """
+    data = jnp.concatenate([prefix.astype(jnp.uint8), stream])
+    u = data.astype(jnp.uint32)
+    n = prefix.shape[0] + total
+    nw_cap = data.shape[0] // 2
+    hi = u[0 : 2 * nw_cap : 2]
+    lo = u[1 : 2 * nw_cap : 2]
+    words = (hi << 8) | lo
+    m = n // 2
+    has_tail = (n & 1) > 0
+    idx = jnp.arange(nw_cap, dtype=jnp.int32)
+    live = idx < m
+    wlive = jnp.where(live, words, 0)
+    tail = jnp.where(has_tail, u[jnp.clip(n - 1, 0, data.shape[0] - 1)] << 8, 0)
+
+    mm = (m + has_tail.astype(jnp.int32)).astype(jnp.uint32)
+    s_w = (_mod_sum65535(wlive % 65535) + tail % 65535) % 65535
+    wgt = jnp.where(live, (mm - idx.astype(jnp.uint32)) % 65535, 0)
+    prod = ((wlive % 65535) * wgt) % 65535
+    s_wsum = (_mod_sum65535(prod) + tail % 65535) % 65535
+
+    s1 = (0xFFFF + s_w) % 65535
+    s2 = (0xFFFF * ((mm + 1) % 65535) % 65535 + s_wsum) % 65535
+    r1 = jnp.where(s1 == 0, 65535, s1)
+    r2 = jnp.where(s2 == 0, 65535, s2)
+    return (r2.astype(jnp.uint32) << 16) | r1.astype(jnp.uint32)
+
+
+def f32_to_f64_bits(x):
+    """IEEE-754 f32 -> f64 bit pattern as (lo32, hi32) uint32 lanes.
+
+    Needed to write the header's double fields on a device without native
+    f64. Subnormal f32 inputs map to 0 (never produced by the range
+    computations); inf/nan map correctly.
+    """
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    s = b >> 31
+    e = (b >> 23) & 0xFF
+    m = b & 0x7FFFFF
+    e64 = jnp.where(e == 0, 0, jnp.where(e == 255, 2047, e + (1023 - 127))).astype(jnp.uint32)
+    m_keep = jnp.where(e == 0, 0, m)
+    hi = (s << 31) | (e64 << 20) | (m_keep >> 3)
+    lo = (m_keep & 7) << 29
+    return lo.astype(jnp.uint32), hi.astype(jnp.uint32)

@@ -115,11 +115,18 @@ def test_ndepth(n_depth):
     check_roundtrip(data, None, 0.01, expect_identical=True)
 
 
-def test_ndepth_int_lossless():
-    # int lossless nDepth > 1: reference uses depth-diff encoding (we don't yet),
-    # so blobs are valid but not byte-identical
+def test_ndepth_int_lossless_diff_encoding():
+    # int lossless nDepth > 1 exercises depth-diff encoding (v5+)
     data = make_data(np.int16, 1, 33, 47, 4)
-    check_roundtrip(data, None, 0.0)
+    check_roundtrip(data, None, 0.0, expect_identical=True)
+    # masked variant
+    mask = (RNG.random((1, 33, 47)) > 0.3).astype(np.uint8)
+    check_roundtrip(data, mask, 0.0, expect_identical=True)
+    # int32 with wide range (overflow-check path)
+    wide = data.astype(np.int32) * 1000000
+    wide[0, 0, 0, 0] = -(2**30)
+    wide[0, -1, -1, -1] = 2**30
+    check_roundtrip(wide, None, 0.0, expect_identical=True)
 
 
 def test_const_image():
