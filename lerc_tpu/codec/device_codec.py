@@ -24,7 +24,7 @@ from .lerc2_decode import DecodedBand
 
 
 def _round_cap(n: int) -> int:
-    """Round capacity up to limit recompilation across similar sizes."""
+    """Round capacity up (pow2) to limit recompilation across sizes."""
     cap = 1 << max(12, (n - 1).bit_length())
     return cap
 
@@ -72,7 +72,7 @@ def encode_band_device(
     n_rec = (-(-h // 8)) * (-(-w // 8)) * d
     cap = _round_cap(num_valid * DT_SIZE[dt] * d + n_rec * 12 + 4096)
 
-    stream, total, zmin_vec, zmax_vec = device_encode.encode_tiles(
+    stream, total, zmin_vec, zmax_vec, _starts = device_encode.encode_tiles(
         data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap
     )
     total = int(total)

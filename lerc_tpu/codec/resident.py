@@ -32,6 +32,7 @@ class ResidentBlob:
     total: int
     checksum: int
     hd: hdr.HeaderInfo
+    starts: jax.Array | None = None  # [nRec] record-offset index (HBM)
 
     def to_bytes(self) -> bytes:
         """Materialize the standard Lerc2 blob on host."""
@@ -53,7 +54,7 @@ class ResidentCodec:
         n_rec = (h // 8) * (w // 8) * d
         self.n_rec = n_rec
         raw = h * w * DT_SIZE[self.dt] * d + n_rec * 12 + 4096
-        self.cap = 1 << (raw - 1).bit_length()
+        self.cap = -(-raw // 1024) * 1024  # exact bound; all per-byte work is O(cap)
         self._ones = jnp.ones((h, w), bool)
         self._try_huffman = hdr.HeaderInfo(
             version=version, dt=self.dt, max_z_error=self.mze
@@ -64,7 +65,7 @@ class ResidentCodec:
     # ---- encode -----------------------------------------------------------
 
     def encode(self, data_dev: jax.Array) -> ResidentBlob:
-        stream, total, zmin_vec, zmax_vec = device_encode.encode_tiles(
+        stream, total, zmin_vec, zmax_vec, starts = device_encode.encode_tiles(
             data_dev, self._ones, jnp.float32(self.mze),
             self.h, self.w, self.d, self.dt, True, self.version, self.cap,
         )
@@ -99,7 +100,7 @@ class ResidentCodec:
         ))
         struct.pack_into("<I", header_bytes, skip - 4, checksum)
         head.checksum = checksum
-        return ResidentBlob(bytes(header_bytes), stream, total_i, checksum, head)
+        return ResidentBlob(bytes(header_bytes), stream, total_i, checksum, head, starts)
 
     # ---- decode -----------------------------------------------------------
 
@@ -127,15 +128,21 @@ class ResidentCodec:
             z_max_vec = np.frombuffer(blob.header[pos : pos + nb], dtype=np_dt).astype(np.float64)
             pos += nb
 
+        if dt_is_int(head.dt):
+            zmax_arg = jnp.asarray(np.round(z_max_vec).astype(np.int32))
+        else:
+            zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
+        if blob.starts is not None:
+            # scan-free path: the encoder's record-offset index
+            return device_decode.decode_tiles_fast(
+                blob.stream, blob.starts, jnp.float32(head.max_z_error),
+                zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
+            )
         (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = (
             device_scan.scan_records_device(
                 blob.stream, self.n_rec, head.dt, head.version, 64
             )
         )
-        if dt_is_int(head.dt):
-            zmax_arg = jnp.asarray(np.round(z_max_vec).astype(np.int32))
-        else:
-            zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
         return device_decode.decode_tiles(
             blob.stream, mode, payload_pos, offset, r_nb, r_ne,
             lut_pos, r_nlut, r_nbits_lut,
@@ -196,7 +203,7 @@ class FusedResidentCodec(ResidentCodec):
 
         @jax.jit
         def encode_fused(data_dev):
-            stream, total, zminv, zmaxv = device_encode.encode_tiles(
+            stream, total, zminv, zmaxv, starts = device_encode.encode_tiles(
                 data_dev, ones, jnp.float32(mze), h_, w_, d_, dt_, True, ver, cap
             )
             header = tmpl
@@ -233,7 +240,43 @@ class FusedResidentCodec(ResidentCodec):
                 header, _u32_bytes(checksum), (skip - 4,)
             )
             meta = jnp.stack([total.astype(jnp.int32), checksum.astype(jnp.int32)])
-            return header, stream, meta
+            return header, stream, meta, starts
+
+        @jax.jit
+        def decode_fused_fast(header, stream, starts):
+            """Scan-free decode via the record-offset index; verifies the
+            Fletcher32 checksum of the wire bytes on device."""
+            def rd_u32(off):
+                b = header[off : off + 4].astype(jnp.uint32)
+                return b[0] | b[1] << 8 | b[2] << 16 | b[3] << 24
+
+            total = (rd_u32(bs_off) - hdr_len).astype(jnp.int32)
+            stored_cs = rd_u32(skip - 4)
+            computed = device_scan.fletcher32_device(header[skip:], stream, total)
+            ok = computed == stored_cs
+            nbytes = d_ * DT_SIZE[dt_]
+            zmax_b = header[ranges_off + nbytes : ranges_off + 2 * nbytes]
+            if DT_SIZE[dt_] == 4:
+                zmax_words = jax.lax.bitcast_convert_type(zmax_b.reshape(d_, 4), jnp.uint32).reshape(d_)
+                if is_int:
+                    zmax_vec = zmax_words.astype(jnp.int32)
+                else:
+                    zmax_vec = jax.lax.bitcast_convert_type(zmax_words, jnp.float32)
+            else:
+                width = DT_SIZE[dt_]
+                acc = jnp.zeros(d_, jnp.uint32)
+                zb = zmax_b.reshape(d_, width).astype(jnp.uint32)
+                for i in range(width):
+                    acc = acc | zb[:, i] << jnp.uint32(8 * i)
+                shift = 32 - 8 * width
+                if dt_ in (DataType.CHAR, DataType.SHORT):
+                    zmax_vec = (acc << shift).astype(jnp.int32) >> shift
+                else:
+                    zmax_vec = acc.astype(jnp.int32)
+            img = device_decode.decode_tiles_fast(
+                stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver
+            )
+            return img, ok
 
         @jax.jit
         def decode_fused(header, stream):
@@ -279,13 +322,19 @@ class FusedResidentCodec(ResidentCodec):
 
         self._encode_fused = encode_fused
         self._decode_fused = decode_fused
+        self._decode_fused_fast = decode_fused_fast
 
     def encode_fast(self, data_dev):
-        """-> (header_dev [hdrLen] u8, stream_dev [cap] u8, meta [2] i32)."""
+        """-> (header_dev [hdrLen] u8, stream_dev [cap] u8, meta [2] i32,
+        starts [nRec] i32 record-offset index)."""
         return self._encode_fused(data_dev)
 
-    def decode_fast(self, header_dev, stream_dev):
-        """-> (img [H, W, D] device, checksum_ok scalar bool device)."""
+    def decode_fast(self, header_dev, stream_dev, starts_dev=None):
+        """-> (img [H, W, D] device, checksum_ok scalar bool device).
+        With starts_dev (the encode-side index) the serial record scan is
+        skipped entirely; without it the blob is scanned on device."""
+        if starts_dev is not None:
+            return self._decode_fused_fast(header_dev, stream_dev, starts_dev)
         return self._decode_fused(header_dev, stream_dev)
 
     def blob_to_bytes(self, header_dev, stream_dev, meta) -> bytes:

@@ -24,6 +24,190 @@ MB = 8
 BS = MB * MB
 
 
+def _read_u32_at(u32v, p):
+    """Unaligned LE u32 read at byte offset p from a [S/4] u32 word view."""
+    w0 = u32v[jnp.clip(p >> 2, 0, u32v.shape[0] - 1)]
+    w1 = u32v[jnp.clip((p >> 2) + 1, 0, u32v.shape[0] - 1)]
+    sh = ((p & 3) * 8).astype(jnp.uint32)
+    return jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "version"))
+def index_records_device(stream, starts, dt: DataType, version: int):
+    """Derive per-record descriptors from the record-offset acceleration
+    index (starts [nRec] i32) -- the scan-free decode path for blobs we
+    encoded ourselves. Wire format untouched; `starts` is recomputable via
+    scan_records_device or the native host scanner.
+
+    Returns (mode, offset, num_bits, num_elements, payload_pos), matching
+    the scan_records_device record-descriptor outputs (no LUT fields: our
+    encoder never emits LUT blocks)."""
+    is_int = dt < DataType.FLOAT
+    u = stream.astype(jnp.uint32)
+    smax = stream.shape[0] - 1
+
+    flag = u[jnp.clip(starts, 0, smax)]
+    code = (flag & 3).astype(jnp.int32)
+    bits67 = (flag >> 6).astype(jnp.int32)
+
+    if not is_int:
+        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
+    elif dt in (DataType.CHAR, DataType.BYTE):
+        off_w = jnp.ones_like(bits67)
+    elif dt in (DataType.SHORT, DataType.USHORT):
+        off_w = jnp.where(bits67 > 0, 1, 2)
+    elif dt == DataType.INT:
+        off_w = jnp.where(bits67 == 3, 1, jnp.where(bits67 > 0, 2, 4))
+    else:  # UINT
+        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
+
+    # offset word (zMin) in the reduced dtype, masked to off_w bytes
+    u32v = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    raw_off = _read_u32_at(u32v, starts + 1)
+    acc = jnp.where(
+        off_w == 1, raw_off & 0xFF,
+        jnp.where(off_w == 2, raw_off & 0xFFFF, raw_off),
+    )
+    n_rec = starts.shape[0]
+    if not is_int:
+        off_f32 = jax.lax.bitcast_convert_type(acc, jnp.float32)
+        i16 = ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16
+        offset = jnp.where(
+            bits67 == 2, (acc & 0xFF).astype(jnp.float32),
+            jnp.where(bits67 == 1, i16.astype(jnp.float32), off_f32),
+        )
+    else:
+        if dt == DataType.SHORT:
+            signed8 = bits67 == 2
+        elif dt == DataType.CHAR:
+            signed8 = jnp.ones(n_rec, bool)
+        else:
+            signed8 = jnp.zeros(n_rec, bool)
+        s8 = jnp.where(signed8, ((acc & 0xFF) << 24).astype(jnp.int32) >> 24,
+                       (acc & 0xFF).astype(jnp.int32))
+        if dt == DataType.INT:
+            signed16 = bits67 == 2
+        elif dt == DataType.SHORT:
+            signed16 = bits67 == 0
+        else:
+            signed16 = jnp.zeros(n_rec, bool)
+        s16 = jnp.where(signed16, ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16,
+                        (acc & 0xFFFF).astype(jnp.int32))
+        offset = jnp.where(off_w == 1, s8, jnp.where(off_w == 2, s16, acc.astype(jnp.int32)))
+
+    nbb_pos = starts + 1 + off_w
+    nbb = u[jnp.clip(nbb_pos, 0, smax)]
+    cw_code = (nbb >> 6).astype(jnp.int32)
+    cw = jnp.where(cw_code == 0, 4, 3 - cw_code)
+    nb = (nbb & 31).astype(jnp.int32)
+    ne_raw = _read_u32_at(u32v, nbb_pos + 1)
+    ne = jnp.where(
+        cw == 1, ne_raw & 0xFF,
+        jnp.where(cw == 2, ne_raw & 0xFFFF,
+                  jnp.where(cw == 3, ne_raw & 0xFFFFFF, ne_raw)),
+    ).astype(jnp.int32)
+    payload_pos = jnp.where(code == 0, starts + 1, nbb_pos + 1 + cw)
+    return code, offset, nb, ne, payload_pos
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "d", "dt", "version")
+)
+def decode_tiles_fast(
+    stream,       # [S] uint8 tile-stream bytes, S % 4 == 0
+    starts,       # [nRec] i32 record-offset index
+    max_z_error,  # f32 scalar
+    z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
+    h: int, w: int, d: int, dt: DataType, version: int,
+):
+    """All-valid aligned fast decode: gather-free value extraction via a
+    select-scan over the per-record payload window words. Returns
+    [H, W, D] native dtype. Requires H, W multiples of 8, no mask, no LUT
+    records (what our device encoder emits)."""
+    assert h % MB == 0 and w % MB == 0
+    is_int = dt < DataType.FLOAT
+    np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
+              DataType.SHORT: jnp.int16, DataType.USHORT: jnp.uint16,
+              DataType.INT: jnp.int32, DataType.UINT: jnp.uint32,
+              DataType.FLOAT: jnp.float32}[dt]
+    size_t = np.dtype(np_out).itemsize
+    max_nb = {1: 8, 2: 16, 4: 32}[size_t]
+    pw = (BS * max_nb + 31) // 32 + 1
+
+    nbv, nbh = h // MB, w // MB
+    n_blocks = nbv * nbh
+    n_rec = n_blocks * d
+    inv_scale = (2.0 * max_z_error).astype(jnp.float32)
+
+    mode, offset, nb, ne, payload_pos = index_records_device(stream, starts, dt, version)
+
+    # per-record payload window as u32 words (2 gathers + funnel shift)
+    u32v = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    wbase = payload_pos >> 2
+    wsh = ((payload_pos & 3) * 8).astype(jnp.uint32)[:, None]
+    midx = wbase[:, None] + jnp.arange(pw + 1, dtype=jnp.int32)[None, :]
+    wa = u32v[jnp.clip(midx, 0, u32v.shape[0] - 1)]
+    win = jnp.where(
+        wsh > 0, (wa[:, :pw] >> wsh) | (wa[:, 1:] << (jnp.uint32(32) - wsh)),
+        wa[:, :pw],
+    )  # [nRec, pw] payload words, LSB-first bitstream
+
+    # unified bit extraction: stuff uses nb bits/value, raw uses the native
+    # width; const modes are patched afterwards
+    eff_nb = jnp.where(mode == 0, 8 * size_t, nb)
+    bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * eff_nb[:, None]
+    m_idx = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint32)
+
+    # select-scan over the static word axis (elementwise passes beat XLA
+    # gathers ~250x per element on TPU)
+    lo = jnp.zeros((n_rec, BS), jnp.uint32)
+    hi = jnp.zeros((n_rec, BS), jnp.uint32)
+    for m in range(pw):
+        sel = m_idx == m
+        lo = jnp.where(sel, win[:, m : m + 1], lo)
+        if m + 1 < pw:
+            hi = jnp.where(sel, win[:, m + 1 : m + 2], hi)
+    nb_u = eff_nb[:, None].astype(jnp.uint32)
+    mask_bits = jnp.where(
+        nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)
+    )
+    val = ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
+
+    m2 = mode[:, None]
+    if not is_int:
+        raw_f = jax.lax.bitcast_convert_type(val, jnp.float32)
+        off2 = offset[:, None]
+        zmax_r = jnp.tile(z_max_vec.astype(jnp.float32), n_blocks)[:, None]
+        z_stuff = jnp.minimum(off2 + val.astype(jnp.float32) * inv_scale, zmax_r)
+        z = jnp.where(
+            m2 == 0, raw_f,
+            jnp.where(m2 == 2, 0.0, jnp.where(m2 == 3, off2, z_stuff)),
+        ).astype(np_out)
+    else:
+        if np_out in (jnp.int8, jnp.int16, jnp.int32):
+            shift = 32 - 8 * size_t
+            raw_i = (val << shift).astype(jnp.int32) >> shift if shift else val.astype(jnp.int32)
+        else:
+            raw_i = val.astype(jnp.int32)
+        off_i = offset.astype(jnp.int32)[:, None]
+        inv_i = jnp.round(inv_scale).astype(jnp.int32)
+        zmax_i = jnp.tile(z_max_vec.astype(jnp.int32), n_blocks)[:, None]
+        z_stuff = jnp.minimum(off_i + val.astype(jnp.int32) * inv_i, zmax_i)
+        z = jnp.where(
+            m2 == 0, raw_i,
+            jnp.where(m2 == 2, 0, jnp.where(m2 == 3, off_i, z_stuff)),
+        ).astype(np_out)
+
+    blocks = z.reshape(n_blocks, d, BS).transpose(0, 2, 1)  # [nB, 64, D]
+    img = (
+        blocks.reshape(nbv, nbh, MB, MB, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nbv * MB, nbh * MB, d)
+    )
+    return img
+
+
 def _unpack_records(stream, payload_pos, num_bits, max_vals: int):
     """Gather-decode bit-stuffed values: [nRec] descriptors -> [nRec, max_vals].
 

@@ -3,19 +3,35 @@
 TPU-first re-design of the reference's serial byte-cursor WriteTiles
 (Lerc2.cpp:1475-1668): micro-blocks become the vector axis, the two-pass
 "count then write" becomes stats -> quantize -> per-record sizes ->
-exclusive scan -> gather assembly, all fixed-shape and jit-compiled.
+exclusive scan -> word-level scatter assembly, all fixed-shape and
+jit-compiled.
+
+Performance notes (TPU v5e measurements): XLA random gathers/scatters run
+at ~100 Melem/s while elementwise passes run at ~26 Gelem/s, so the design
+avoids gathers entirely on the hot path:
+  - records are composed as uint32 WORDS (not bytes) from a small set of
+    static layout variants (payload byte offset is 4, 5 or 7 depending on
+    the reduced offset width), selected elementwise -- no byte matrix, no
+    take_along_axis
+  - the only data-dependent memory op is one scatter-add of the shifted
+    record words at starts[r]>>2 (adjacent records share boundary words;
+    byte lanes never collide because every record is tail-masked to its
+    exact length)
+  - the bit-pack is a scatter-add over non-overlapping bit ranges at word
+    granularity
 
 Differences from the host encoder (both produce valid wire format):
-  - no LUT block mode (simple bit-stuffing only; LUT wins mainly on
-    segmented data and is a planned addition)
+  - no LUT block mode (simple bit-stuffing only)
   - quantization runs in f32 with a +/-1 candidate fixup against the f32
     reconstruction instead of exact f64 (TPU has no fast f64); the error
     bound still holds to within a float cast, like the reference's own
     ENCODE_VERIFY tolerance (Lerc.cpp:1081-1211 uses maxZErr * 1.1)
-  - micro block is always 8x8 (no 16x16 retrial yet)
+  - micro block is always 8x8 (no 16x16 retrial)
 
 The host wrapper (lerc_tpu.codec.device_codec) adds header/mask/ranges and
-the Fletcher32 checksum.
+the Fletcher32 checksum. `encode_tiles` also returns the per-record start
+offsets -- the decode-side acceleration index (SURVEY.md §7) that lets the
+device decoder skip the serial record scan for blobs we produced.
 """
 from __future__ import annotations
 
@@ -30,11 +46,6 @@ from .pack_tables import MAX_BITS
 
 MB = 8
 BS = MB * MB  # 64 values per block
-
-# per-record capacity upper bounds (uint8 columns in the record matrix)
-_MAX_REC = {4: 1 + BS * 4, 2: 1 + BS * 2, 1: 1 + BS}
-_PACK_BYTES = (BS * MAX_BITS + 7) // 8  # 248
-_PACK_WORDS = (BS * MAX_BITS + 31) // 32  # 62
 
 
 def _bit_len(x):
@@ -91,19 +102,53 @@ def _reduce_offset_int(zmin, dt: DataType):
     return tc, width
 
 
-def _offset_bytes_float(zmin, tc):
-    """4 LE bytes of the offset under its reduced dtype (unused lanes 0)."""
+def _offset_word_float(zmin, tc):
+    """Offset value as a LE uint32 word under its reduced dtype (unused
+    high bytes zero)."""
     as_u32 = jax.lax.bitcast_convert_type(zmin, jnp.uint32)
     as_i = jnp.round(zmin).astype(jnp.int32)
     u_byte = (as_i & 0xFF).astype(jnp.uint32)
     u_short = (as_i & 0xFFFF).astype(jnp.uint32)
-    word = jnp.where(tc == 2, u_byte, jnp.where(tc == 1, u_short, as_u32))
-    return jnp.stack([(word >> (8 * i)) & 0xFF for i in range(4)], axis=-1).astype(jnp.uint8)
+    return jnp.where(tc == 2, u_byte, jnp.where(tc == 1, u_short, as_u32))
 
 
-def _offset_bytes_int(zmin, tc):
-    word = zmin.astype(jnp.int32).astype(jnp.uint32)  # two's complement LE
-    return jnp.stack([(word >> (8 * i)) & 0xFF for i in range(4)], axis=-1).astype(jnp.uint8)
+def _offset_word_int(zmin, off_w):
+    """LE word of an int offset, masked to off_w bytes (two's complement)."""
+    word = zmin.astype(jnp.int32).astype(jnp.uint32)
+    return jnp.where(
+        off_w == 1, word & 0xFF, jnp.where(off_w == 2, word & 0xFFFF, word)
+    )
+
+
+def _pack_words(cq, nb, n_blocks, pw: int):
+    """Bit-stuff [nB, 64] quantized values at nb bits each into [nB, pw]
+    uint32 words (LSB-first stream). Contributions never overlap bits, so a
+    word-level scatter-add assembles the stream."""
+    bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * nb[:, None]
+    w_idx = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint32)
+    lo = cq << sh
+    spill = jnp.where(sh > 0, cq >> (jnp.uint32(32) - sh), 0)
+    rows = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * pw
+    flat_lo = (rows + w_idx).ravel()
+    guard = (w_idx + 1 < pw).ravel()
+    flat_hi = jnp.where(guard, (rows + w_idx + 1).ravel(), n_blocks * pw)
+    words = jnp.zeros(n_blocks * pw, jnp.uint32)
+    words = words.at[flat_lo].add(lo.ravel(), mode="drop")
+    words = words.at[flat_hi].add(jnp.where(guard, spill.ravel(), 0), mode="drop")
+    return words.reshape(n_blocks, pw)
+
+
+def _shift_words_1b(w, k: int):
+    """Shift a [N, W] LE word array right by k BYTES in the byte stream
+    (i.e. bytes move to higher positions), returning [N, W+1]."""
+    if k == 0:
+        return jnp.concatenate([w, jnp.zeros((w.shape[0], 1), jnp.uint32)], axis=1)
+    z = jnp.zeros((w.shape[0], 1), jnp.uint32)
+    wp = jnp.concatenate([z, w], axis=1)          # wp[j] = w[j-1]
+    wn = jnp.concatenate([w, z], axis=1)          # wn[j] = w[j]
+    s = jnp.uint32(8 * k)
+    return (wp >> (jnp.uint32(32) - s)) | (wn << s)
 
 
 @functools.partial(
@@ -122,12 +167,19 @@ def encode_tiles(
     version: int,
     cap: int,
 ):
-    """Returns (out_bytes [cap] uint8, total_len, z_min_vec [D], z_max_vec [D])."""
+    """Returns (out_bytes [cap] u8, total_len, z_min_vec [D], z_max_vec [D],
+    starts [nRec] i32) -- starts is the record-offset acceleration index."""
     is_int = dt < DataType.FLOAT
     size_t = {DataType.CHAR: 1, DataType.BYTE: 1, DataType.SHORT: 2, DataType.USHORT: 2,
               DataType.INT: 4, DataType.UINT: 4, DataType.FLOAT: 4}[dt]
-    max_rec = _MAX_REC[size_t]
     maxq_cap = float((1 << 15) - 1 if size_t <= 2 else (1 << 30) - 1)
+    # max numBits for this dtype bounds the packed-word count
+    max_nb = {1: 8, 2: 16, 4: 31}[size_t]
+    pw = (BS * max_nb + 31) // 32 + 1  # +1 spill slack
+    raw_w = (1 + BS * size_t + 3) // 4  # raw record word count
+    rec_w = max(raw_w, (7 + 4 * (pw - 1) + 3) // 4, pw + 2) + 1
+    cap_w = cap // 4
+    assert cap % 4 == 0
 
     mze = max_z_error.astype(jnp.float32)
     scale = jnp.where(mze > 0, 1.0 / (2.0 * mze), 0.0).astype(jnp.float32)
@@ -138,14 +190,13 @@ def encode_tiles(
         jnp.ones((h, w), bool) if all_valid else mask, h, w
     )
     n_blocks = nbv * nbh
-    cnt = vb.sum(axis=1).astype(jnp.int32)  # [nB]
+    cnt = vb.sum(axis=1).astype(jnp.int32)  # [nB], always <= 64 so cw == 1
 
     # compaction permutation: valid positions first, stable. Even in the
     # all-valid case edge blocks need compaction (padding positions are
     # interleaved row-major when H or W is not a multiple of 8).
-    if all_valid and h % MB == 0 and w % MB == 0:
-        perm = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
-    else:
+    aligned_all_valid = all_valid and h % MB == 0 and w % MB == 0
+    if not aligned_all_valid:
         perm = jnp.argsort(~vb, axis=1, stable=True).astype(jnp.int32)
 
     # per-block j0 for the integrity bits
@@ -154,14 +205,7 @@ def encode_tiles(
     if version >= 5:
         integ = integ & 0b111000
 
-    rec_flag = []
-    rec_len = []
-    rec_off_bytes = []
-    rec_off_w = []
-    rec_nb = []
-    rec_mode = []
-    rec_packed = []
-    rec_rawb = []
+    per_depth = []
     z_min_out = []
     z_max_out = []
 
@@ -213,9 +257,15 @@ def encode_tiles(
             zmin_store = zmin
 
         q = jnp.where(vb, q, 0)
-        cq = jnp.take_along_axis(q, perm, axis=1)
-        pos = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
-        cq = jnp.where(pos < cnt[:, None], cq, 0)  # zero the tail
+        if aligned_all_valid:
+            cq = q
+            cx = xb
+        else:
+            cq = jnp.take_along_axis(q, perm, axis=1)
+            pos = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
+            cq = jnp.where(pos < cnt[:, None], cq, 0)  # zero the tail
+            cx = jnp.take_along_axis(xb, perm, axis=1)
+            cx = jnp.where(pos < cnt[:, None], cx, 0)
 
         max_q = cq.max(axis=1)
         nb = _bit_len(max_q)
@@ -227,14 +277,13 @@ def encode_tiles(
 
         if is_int:
             tc, off_w = _reduce_offset_int(zmin_store, dt)
-            off_b = _offset_bytes_int(zmin_store, tc)
+            off_word = _offset_word_int(zmin_store, off_w)
         else:
             tc, off_w = _reduce_offset_float(zmin)
-            off_b = _offset_bytes_float(zmin, tc)
+            off_word = _offset_word_float(zmin, tc)
 
-        cntw = jnp.where(cnt < 256, 1, 2).astype(jnp.int32)
         stuff_bytes = (cnt * nb + 7) // 8
-        stuff_len = 1 + off_w + jnp.where(max_q > 0, 1 + cntw + stuff_bytes, 0)
+        stuff_len = 1 + off_w + jnp.where(max_q > 0, 2 + stuff_bytes, 0)
         raw_len = 1 + cnt * size_t
         use_stuff = (~force_raw) & (stuff_len < raw_len)
         mode = jnp.where(
@@ -246,113 +295,127 @@ def encode_tiles(
         ).astype(jnp.int32)
 
         flag = (integ | jnp.where(mode == 0, 0, jnp.where(mode == 2, 2, jnp.where(max_q > 0, 1, 3)))
-                | jnp.where(mode == 2, 0, jnp.where(mode == 0, 0, tc << 6))).astype(jnp.uint8)
+                | jnp.where(mode == 2, 0, jnp.where(mode == 0, 0, tc << 6))).astype(jnp.uint32)
 
-        # ---- packed payload as u32 words (LSB-first bitstream): each value
-        # contributes (q << sh) to word bitpos>>5 and its spill to the next
-        # word; contributions never overlap bits, so scatter-ADD assembles
-        # the stream. Word-level arithmetic keeps shapes 2D (no 16x TPU
-        # lane padding from bit-granular tensors).
-        bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * nb[:, None]
-        w_idx = bitpos >> 5
-        sh = (bitpos & 31).astype(jnp.uint32)
-        lo = cq << sh
-        spill = jnp.where(sh > 0, cq >> (jnp.uint32(32) - sh), 0)
-        rows = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * _PACK_WORDS
-        flat_lo = (rows + w_idx).ravel()
-        flat_hi = (rows + w_idx + 1).ravel()
-        guard = (w_idx + 1 < _PACK_WORDS).ravel()
-        words = jnp.zeros(n_blocks * _PACK_WORDS, jnp.uint32)
-        words = words.at[flat_lo].add(lo.ravel(), mode="drop")
-        words = words.at[jnp.where(guard, flat_hi, n_blocks * _PACK_WORDS)].add(
-            jnp.where(guard, spill.ravel(), 0), mode="drop"
+        # ---- packed payload words [nB, pw]
+        pk = _pack_words(cq, nb, n_blocks, pw)
+        pkp = jnp.concatenate([jnp.zeros((n_blocks, 2), jnp.uint32), pk], axis=1)
+        # pad to rec_w + 1 so static slices below stay in range
+        if pkp.shape[1] < rec_w + 2:
+            pkp = jnp.concatenate(
+                [pkp, jnp.zeros((n_blocks, rec_w + 2 - pkp.shape[1]), jnp.uint32)], axis=1
+            )
+
+        # cnt always < 256 -> count-width code 2 (1 byte)
+        nbb = (nb.astype(jnp.uint32) | jnp.uint32(2 << 6))  # numBits byte
+        cnt_u = cnt.astype(jnp.uint32)
+
+        # ---- record words [nB, rec_w], gather-free composition.
+        # Three stuff layouts by off_w (payload byte offset 4 / 5 / 7):
+        #   off_w=1: [flag off0 nbb cnt | payload...]           pay at 4
+        #   off_w=2: [flag off0 off1 nbb | cnt payload...]      pay at 5
+        #   off_w=4: [flag off0..off2 | off3 nbb cnt payload..] pay at 7
+        ob0 = off_word & 0xFF
+        ob1 = (off_word >> 8) & 0xFF
+        ob2 = (off_word >> 16) & 0xFF
+        ob3 = (off_word >> 24) & 0xFF
+
+        w0_1 = flag | (ob0 << 8) | (nbb << 16) | (cnt_u << 24)
+        w0_2 = flag | (ob0 << 8) | (ob1 << 16) | (nbb << 24)
+        w0_4 = flag | (ob0 << 8) | (ob1 << 16) | (ob2 << 24)
+        w1_1 = pkp[:, 2]                                   # pk[0] aligned at byte 4
+        w1_2 = cnt_u | (pkp[:, 2] << 8)
+        w1_4 = ob3 | (nbb << 8) | (cnt_u << 16) | ((pkp[:, 2] & 0xFF) << 24)
+
+        # words j >= 2 per layout (static byte shifts of the pk stream)
+        body_1 = pkp[:, 3 : 3 + rec_w - 2]                                  # pk[j-1]
+        body_2 = (pkp[:, 2 : 2 + rec_w - 2] >> 24) | (pkp[:, 3 : 3 + rec_w - 2] << 8)
+        body_4 = (pkp[:, 2 : 2 + rec_w - 2] >> 8) | (pkp[:, 3 : 3 + rec_w - 2] << 24)
+
+        ow = off_w[:, None]
+        stuff_words = jnp.concatenate(
+            [
+                jnp.where(off_w == 1, w0_1, jnp.where(off_w == 2, w0_2, w0_4))[:, None],
+                jnp.where(off_w == 1, w1_1, jnp.where(off_w == 2, w1_2, w1_4))[:, None],
+                jnp.where(ow == 1, body_1, jnp.where(ow == 2, body_2, body_4)),
+            ],
+            axis=1,
         )
-        packed = words.reshape(n_blocks, _PACK_WORDS)  # u32 words, not bytes
+        # mode 3 (const-offset): flag + offset bytes only -- same head layout
+        # with payload absent; the tail mask below truncates to 1 + off_w.
+        # mode 2 (const-0): flag only; tail mask truncates to 1 byte.
+        # But w0_1/w0_2 embed nbb/cnt in bytes <= off_w; rebuild head for
+        # mode 3 so those bytes are offset bytes, not stuffer header:
+        w0_c = flag | (ob0 << 8) | (ob1 << 16) | (ob2 << 24)
+        w1_c = ob3
+        const_head = jnp.concatenate(
+            [w0_c[:, None], w1_c[:, None], jnp.zeros((n_blocks, rec_w - 2), jnp.uint32)],
+            axis=1,
+        )
 
-        # ---- raw payload bytes (compacted native values, LE)
-        cx = jnp.take_along_axis(xb, perm, axis=1)
+        # ---- raw payload words (compacted native values, LE at byte 1)
         if size_t == 4:
             if is_int:
-                word = cx.astype(jnp.int32).astype(jnp.uint32)
+                rw = cx.astype(jnp.int32).astype(jnp.uint32)
             else:
-                word = jax.lax.bitcast_convert_type(cx.astype(jnp.float32), jnp.uint32)
-            lanes = jnp.stack([(word >> (8 * i)) & 0xFF for i in range(4)], axis=2)
-            rawb = lanes.reshape(n_blocks, BS * 4).astype(jnp.uint8)
+                rw = jax.lax.bitcast_convert_type(cx.astype(jnp.float32), jnp.uint32)
         elif size_t == 2:
-            word = cx.astype(jnp.int32).astype(jnp.uint32)
-            lanes = jnp.stack([(word >> (8 * i)) & 0xFF for i in range(2)], axis=2)
-            rawb = lanes.reshape(n_blocks, BS * 2).astype(jnp.uint8)
+            u = cx.astype(jnp.int32).astype(jnp.uint32) & 0xFFFF
+            rw = u[:, 0::2] | (u[:, 1::2] << 16)
         else:
-            rawb = cx.astype(jnp.int32).astype(jnp.uint8).reshape(n_blocks, BS)
+            u = cx.astype(jnp.int32).astype(jnp.uint32) & 0xFF
+            rw = u[:, 0::4] | (u[:, 1::4] << 8) | (u[:, 2::4] << 16) | (u[:, 3::4] << 24)
+        nrw = rw.shape[1]
+        rwp = jnp.concatenate(
+            [jnp.zeros((n_blocks, 1), jnp.uint32), rw,
+             jnp.zeros((n_blocks, max(0, rec_w - nrw)), jnp.uint32)], axis=1
+        )[:, : rec_w + 1]
+        raw_words = (rwp[:, :rec_w] >> 24) | (rwp[:, 1 : rec_w + 1] << 8)
+        raw_words = jnp.concatenate(
+            [(raw_words[:, 0] | flag)[:, None], raw_words[:, 1:]], axis=1
+        )
 
-        rec_flag.append(flag)
-        rec_len.append(length)
-        rec_off_bytes.append(off_b)
-        rec_off_w.append(off_w)
-        rec_nb.append(nb)
-        rec_mode.append(mode)
-        rec_packed.append(packed)
-        rec_rawb.append(rawb)
+        m2 = mode[:, None]
+        rec = jnp.where(
+            m2 == 0, raw_words,
+            jnp.where(m2 == 1, stuff_words,
+                      jnp.where(m2 == 3, const_head,
+                                jnp.concatenate([flag[:, None], jnp.zeros((n_blocks, rec_w - 1), jnp.uint32)], axis=1))),
+        )
+
+        # ---- tail mask: zero bytes at positions >= length (required so the
+        # assembly scatter-ADD can merge boundary words of adjacent records)
+        jb = jnp.arange(rec_w, dtype=jnp.int32)[None, :] * 4
+        keep = jnp.clip(length[:, None] - jb, 0, 4)
+        bmask = jnp.where(
+            keep >= 4, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (jnp.uint32(8) * keep.astype(jnp.uint32))) - jnp.uint32(1),
+        )
+        rec = rec & bmask
+
+        per_depth.append((rec, length))
 
     # ---- interleave records block-major, depth inner: r = b*D + d
-    def inter(parts):
-        return jnp.stack(parts, axis=1).reshape((n_blocks * d,) + parts[0].shape[1:])
-
-    flag = inter(rec_flag)
-    length = inter(rec_len)
-    off_b = inter(rec_off_bytes)
-    off_w = inter(rec_off_w)
-    nb = inter(rec_nb)
-    mode = inter(rec_mode)
-    packed = inter(rec_packed)
-    rawb = inter(rec_rawb)
-    cnt_r = jnp.repeat(cnt, d)
-    cntw_r = jnp.where(cnt_r < 256, 1, 2).astype(jnp.int32)
+    if d == 1:
+        rec, length = per_depth[0]
+    else:
+        rec = jnp.stack([p[0] for p in per_depth], axis=1).reshape(n_blocks * d, rec_w)
+        length = jnp.stack([p[1] for p in per_depth], axis=1).reshape(n_blocks * d)
     n_rec = n_blocks * d
 
-    # ---- fill the record byte matrix
-    col = jnp.arange(max_rec, dtype=jnp.int32)[None, :]
-    off_w2 = off_w[:, None]
-    mode2 = mode[:, None]
-    cntw2 = cntw_r[:, None]
-    has_stuff = (mode2 == 1)
-    hdr_off_start = 1
-    stuff_hdr_pos = 1 + off_w2
-    cnt_pos = stuff_hdr_pos + 1
-    pay_pos = jnp.where(mode2 == 0, 1, cnt_pos + cntw2)
-
-    num_bits_byte = (nb | jnp.where(cntw_r == 1, 2, 1) << 6).astype(jnp.uint8)
-
-    out = jnp.zeros((n_rec, max_rec), jnp.uint8)
-    # flag byte
-    out = jnp.where(col == 0, flag[:, None], out)
-    # offset bytes (modes 1 and 3)
-    off_sel = (mode2 % 2 == 1) & (col >= 1) & (col < 1 + off_w2)
-    off_idx = jnp.clip(col - 1, 0, 3)
-    out = jnp.where(off_sel, jnp.take_along_axis(off_b, off_idx, axis=1), out)
-    # stuff header byte + count bytes
-    out = jnp.where(has_stuff & (col == stuff_hdr_pos), num_bits_byte[:, None], out)
-    cnt_bytes = jnp.stack([(cnt_r >> (8 * i)) & 0xFF for i in range(2)], axis=1).astype(jnp.uint8)
-    cnt_sel = has_stuff & (col >= cnt_pos) & (col < cnt_pos + cntw2)
-    out = jnp.where(cnt_sel, jnp.take_along_axis(cnt_bytes, jnp.clip(col - cnt_pos, 0, 1), axis=1), out)
-    # packed payload: gather the u32 word, extract the byte lane
-    pk_idx = jnp.clip(col - pay_pos, 0, _PACK_BYTES - 1)
-    pk_sel = has_stuff & (col >= pay_pos) & (col < length[:, None])
-    pk_word = jnp.take_along_axis(packed, pk_idx >> 2, axis=1)
-    pk_byte = ((pk_word >> (8 * (pk_idx & 3)).astype(jnp.uint32)) & 0xFF).astype(jnp.uint8)
-    out = jnp.where(pk_sel, pk_byte, out)
-    # raw payload
-    raw_sel = (mode2 == 0) & (col >= 1) & (col < length[:, None])
-    raw_idx = jnp.clip(col - 1, 0, rawb.shape[1] - 1)
-    out = jnp.where(raw_sel, jnp.take_along_axis(rawb, raw_idx, axis=1), out)
-
-    # ---- assembly: exclusive scan + gather
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(length)[:-1].astype(jnp.int32)])
+    # ---- assembly: exclusive scan of lengths -> shift each record by
+    # (starts & 3) bytes -> word-level scatter-add at starts >> 2
+    starts = (jnp.cumsum(length) - length).astype(jnp.int32)
     total = starts[-1] + length[-1]
-    p = jnp.arange(cap, dtype=jnp.int32)
-    rid = jnp.clip(jnp.searchsorted(starts, p, side="right") - 1, 0, n_rec - 1)
-    local = p - starts[rid]
-    stream = out[rid, jnp.clip(local, 0, max_rec - 1)]
-    stream = jnp.where(p < total, stream, 0)
 
-    return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out)
+    sh = starts & 3
+    shifted = _shift_words_1b(rec, 0)
+    for k in (1, 2, 3):
+        shifted = jnp.where((sh == k)[:, None], _shift_words_1b(rec, k), shifted)
+
+    base = (starts >> 2)[:, None] + jnp.arange(rec_w + 1, dtype=jnp.int32)[None, :]
+    out_words = jnp.zeros(cap_w, jnp.uint32)
+    out_words = out_words.at[base.ravel()].add(shifted.ravel(), mode="drop")
+
+    stream = jax.lax.bitcast_convert_type(out_words, jnp.uint8).reshape(cap)
+    return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts

@@ -180,14 +180,22 @@ def scan_records_device(
     return (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut)
 
 
-def _mod_sum65535(x):
-    """Hierarchical sum mod 65535 of uint32 entries (each < 65535)."""
-    while x.size > 128:
-        pad = (-x.size) % 128
+def _fold65535(x):
+    """x mod 65535 for uint32 x, division-free (2^16 == 1 mod 65535)."""
+    x = (x & 0xFFFF) + (x >> 16)
+    x = (x & 0xFFFF) + (x >> 16)
+    return jnp.where(x >= 65535, x - 65535, x)
+
+
+def _sum65535(x):
+    """Hierarchical exact sum mod 65535 of uint32 entries (< 65535 each),
+    division-free: fold -> 64-way tree sums stay below 2^22."""
+    while x.size > 64:
+        pad = (-x.size) % 64
         if pad:
             x = jnp.concatenate([x, jnp.zeros(pad, jnp.uint32)])
-        x = x.reshape(-1, 128).sum(axis=1) % 65535
-    return x.sum() % 65535
+        x = _fold65535(x.reshape(-1, 64).sum(axis=1))
+    return _fold65535(x.sum())
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -196,9 +204,11 @@ def fletcher32_device(prefix, stream, total):
 
     prefix: small uint8 array (the host-built header tail after the checksum
     field); stream: fixed-capacity device byte array zeroed past `total`.
-    Returns the uint32 checksum. Exactly matches the reference's serial
-    fold-every-359-words loop via the always-positive mod-65535
-    representative (0 -> 0xffff).
+    Returns the uint32 checksum. Matches the reference's serial
+    fold-every-359-words loop (Lerc2.cpp:1037-1064) via the closed form
+    s1 = 0xFFFF + sum(w_i), s2 = 0xFFFF*(m+1) + sum((m-i)*w_i) mod 65535
+    with the always-positive representative (0 -> 0xffff). All arithmetic
+    is shift-add folds (2^16 == 1 mod 65535); no integer division.
     """
     data = jnp.concatenate([prefix.astype(jnp.uint8), stream])
     u = data.astype(jnp.uint32)
@@ -211,17 +221,17 @@ def fletcher32_device(prefix, stream, total):
     has_tail = (n & 1) > 0
     idx = jnp.arange(nw_cap, dtype=jnp.int32)
     live = idx < m
-    wlive = jnp.where(live, words, 0)
+    wlive = jnp.where(live, words, 0)  # < 2^16
     tail = jnp.where(has_tail, u[jnp.clip(n - 1, 0, data.shape[0] - 1)] << 8, 0)
 
     mm = (m + has_tail.astype(jnp.int32)).astype(jnp.uint32)
-    s_w = (_mod_sum65535(wlive % 65535) + tail % 65535) % 65535
-    wgt = jnp.where(live, (mm - idx.astype(jnp.uint32)) % 65535, 0)
-    prod = ((wlive % 65535) * wgt) % 65535
-    s_wsum = (_mod_sum65535(prod) + tail % 65535) % 65535
+    s_w = _fold65535(_sum65535(wlive) + _fold65535(tail))
+    wgt = jnp.where(live, _fold65535(mm - idx.astype(jnp.uint32)), 0)  # < 65535
+    prod = _fold65535(wlive * wgt)  # product < 2^32 exact in u32
+    s_wsum = _fold65535(_sum65535(prod) + _fold65535(tail))
 
-    s1 = (0xFFFF + s_w) % 65535
-    s2 = (0xFFFF * ((mm + 1) % 65535) % 65535 + s_wsum) % 65535
+    s1 = _fold65535(jnp.uint32(0xFFFF) + s_w)
+    s2 = _fold65535(_fold65535(jnp.uint32(0xFFFF) * _fold65535(mm + 1)) + s_wsum)
     r1 = jnp.where(s1 == 0, 65535, s1)
     r2 = jnp.where(s2 == 0, 65535, s2)
     return (r2.astype(jnp.uint32) << 16) | r1.astype(jnp.uint32)

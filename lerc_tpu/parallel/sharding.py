@@ -62,7 +62,7 @@ def _encode_tiles_sharded(
     global_min [D], global_max [D]); all sharded/replicated appropriately."""
 
     def encode_one(tile, mask):
-        stream, total, zmin, zmax = device_encode.encode_tiles(
+        stream, total, zmin, zmax, _starts = device_encode.encode_tiles(
             tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version, cap
         )
         return stream, total, zmin.astype(jnp.float32), zmax.astype(jnp.float32)
