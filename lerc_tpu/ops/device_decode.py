@@ -159,15 +159,22 @@ def decode_tiles_fast(
     m_idx = bitpos >> 5
     sh = (bitpos & 31).astype(jnp.uint32)
 
-    # select-scan over the static word axis (elementwise passes beat XLA
-    # gathers ~250x per element on TPU)
+    # per-record word selection as one-hot MXU matmuls over byte lanes
+    # (exact: lanes <= 255, one-hot rows sum to 1); runs ~100x faster than
+    # XLA row gathers or select-scans on TPU
+    wr = jnp.arange(pw, dtype=jnp.int32)
+    oh_lo = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+    oh_hi = ((m_idx + 1)[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
     lo = jnp.zeros((n_rec, BS), jnp.uint32)
     hi = jnp.zeros((n_rec, BS), jnp.uint32)
-    for m in range(pw):
-        sel = m_idx == m
-        lo = jnp.where(sel, win[:, m : m + 1], lo)
-        if m + 1 < pw:
-            hi = jnp.where(sel, win[:, m + 1 : m + 2], hi)
+    for b in range(4):
+        lane = ((win >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+        sl = jnp.einsum("rvw,rw->rv", oh_lo, lane,
+                        preferred_element_type=jnp.float32)
+        sh_ = jnp.einsum("rvw,rw->rv", oh_hi, lane,
+                         preferred_element_type=jnp.float32)
+        lo = lo | (sl.astype(jnp.uint32) << (8 * b))
+        hi = hi | (sh_.astype(jnp.uint32) << (8 * b))
     nb_u = eff_nb[:, None].astype(jnp.uint32)
     mask_bits = jnp.where(
         nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)

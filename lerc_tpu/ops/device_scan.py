@@ -198,40 +198,83 @@ def _sum65535(x):
     return _fold65535(x.sum())
 
 
+def _words_sums(words, idx, live, M):
+    """(sum w, sum (M - idx) * w) mod 65535 over live entries.
+
+    words < 2^16, idx message-word indices, M total word count (traced
+    scalar). Division-free: 2^16 == 1 mod 65535 shift-add folds; products
+    stay < 2^32 so u32 arithmetic is exact."""
+    wlive = jnp.where(live, words, 0)
+    wgt = jnp.where(live, _fold65535(M - idx.astype(jnp.uint32)), 0)
+    prod = _fold65535(wlive * wgt)
+    return _sum65535(wlive), _sum65535(prod)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def fletcher32_device(prefix, stream, total):
     """Device Fletcher32 (Lerc2 flavor) over prefix || stream[:total].
 
     prefix: small uint8 array (the host-built header tail after the checksum
-    field); stream: fixed-capacity device byte array zeroed past `total`.
-    Returns the uint32 checksum. Matches the reference's serial
+    field); stream: fixed-capacity device byte array, ZEROED past `total`,
+    with capacity a multiple of 4. Matches the reference's serial
     fold-every-359-words loop (Lerc2.cpp:1037-1064) via the closed form
-    s1 = 0xFFFF + sum(w_i), s2 = 0xFFFF*(m+1) + sum((m-i)*w_i) mod 65535
-    with the always-positive representative (0 -> 0xffff). All arithmetic
-    is shift-add folds (2^16 == 1 mod 65535); no integer division.
+    s1 = 0xFFFF + sum(w_i), s2 = 0xFFFF*(M+1) + sum((M-i)*w_i) mod 65535
+    with the always-positive representative (0 -> 0xffff).
+
+    The stream is consumed as aligned uint32 lanes (big-endian u16 word
+    pairs extracted with shifts) -- strided byte slices relayout on TPU and
+    cost ~70x more than these elementwise passes. When the static prefix
+    length is odd, the stream is funnel-shifted one byte so lanes stay
+    aligned, and the straddling word is patched in scalar code.
     """
-    data = jnp.concatenate([prefix.astype(jnp.uint8), stream])
-    u = data.astype(jnp.uint32)
-    n = prefix.shape[0] + total
-    nw_cap = data.shape[0] // 2
-    hi = u[0 : 2 * nw_cap : 2]
-    lo = u[1 : 2 * nw_cap : 2]
-    words = (hi << 8) | lo
-    m = n // 2
-    has_tail = (n & 1) > 0
-    idx = jnp.arange(nw_cap, dtype=jnp.int32)
-    live = idx < m
-    wlive = jnp.where(live, words, 0)  # < 2^16
-    tail = jnp.where(has_tail, u[jnp.clip(n - 1, 0, data.shape[0] - 1)] << 8, 0)
+    P = prefix.shape[0]
+    n = P + total
+    m_words = (n + 1) // 2  # word count incl. the odd-tail word; trailing
+    # zero bytes of the capacity buffer make the tail word b<<8 for free
+    M = m_words.astype(jnp.uint32)
 
-    mm = (m + has_tail.astype(jnp.int32)).astype(jnp.uint32)
-    s_w = _fold65535(_sum65535(wlive) + _fold65535(tail))
-    wgt = jnp.where(live, _fold65535(mm - idx.astype(jnp.uint32)), 0)  # < 65535
-    prod = _fold65535(wlive * wgt)  # product < 2^32 exact in u32
-    s_wsum = _fold65535(_sum65535(prod) + _fold65535(tail))
+    # ---- prefix words (tiny, static length)
+    pu = prefix.astype(jnp.uint32)
+    if P % 2 == 0:
+        pw = (pu[0:P:2] << 8) | pu[1:P:2]
+        stream_first_widx = P // 2
+        sbytes = stream
+        straddle_w = jnp.zeros((0,), jnp.uint32)
+        straddle_i = jnp.zeros((0,), jnp.int32)
+    else:
+        pw = (pu[0 : P - 1 : 2] << 8) | pu[1 : P - 1 : 2]
+        # straddle word: last prefix byte | first stream byte
+        straddle_w = ((pu[P - 1] << 8) | stream[0].astype(jnp.uint32))[None]
+        straddle_i = jnp.asarray([(P - 1) // 2], jnp.int32)
+        stream_first_widx = (P + 1) // 2
+        # shift stream down one byte so u32 lanes align with message words
+        u32v0 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+        nxt = jnp.concatenate([u32v0[1:], jnp.zeros(1, jnp.uint32)])
+        shifted = (u32v0 >> 8) | (nxt << 24)
+        sbytes = jax.lax.bitcast_convert_type(
+            shifted[:, None], jnp.uint8
+        ).reshape(-1)
 
+    # ---- stream words from aligned u32 lanes
+    x = jax.lax.bitcast_convert_type(sbytes.reshape(-1, 4), jnp.uint32)
+    we = ((x & 0xFF) << 8) | ((x >> 8) & 0xFF)        # bytes (4k, 4k+1)
+    wo = (((x >> 16) & 0xFF) << 8) | (x >> 24)        # bytes (4k+2, 4k+3)
+    k = jnp.arange(x.shape[0], dtype=jnp.int32)
+    ie = stream_first_widx + 2 * k
+    io = ie + 1
+
+    s1p, s2p = _words_sums(
+        jnp.concatenate([pw, straddle_w]),
+        jnp.concatenate([jnp.arange(pw.shape[0], dtype=jnp.int32), straddle_i]),
+        jnp.ones(pw.shape[0] + straddle_w.shape[0], bool), M,
+    )
+    s1e, s2e = _words_sums(we, ie, ie < m_words, M)
+    s1o, s2o = _words_sums(wo, io, io < m_words, M)
+
+    s_w = _fold65535(s1p + s1e + s1o)
+    s_wsum = _fold65535(s2p + s2e + s2o)
     s1 = _fold65535(jnp.uint32(0xFFFF) + s_w)
-    s2 = _fold65535(_fold65535(jnp.uint32(0xFFFF) * _fold65535(mm + 1)) + s_wsum)
+    s2 = _fold65535(_fold65535(jnp.uint32(0xFFFF) * _fold65535(M + 1)) + s_wsum)
     r1 = jnp.where(s1 == 0, 65535, s1)
     r2 = jnp.where(s2 == 0, 65535, s2)
     return (r2.astype(jnp.uint32) << 16) | r1.astype(jnp.uint32)

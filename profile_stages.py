@@ -1,4 +1,8 @@
-"""Stage-level profiling of the device codec on the real TPU."""
+"""Stage-level profiling of the device codec on the real TPU.
+
+block_until_ready does not block on this platform; every measurement
+fetches a dependent scalar/array probe to force completion.
+"""
 import sys
 import time
 
@@ -14,21 +18,25 @@ TILE = 2048
 MZE = 0.001
 
 
+def fetch(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[0:1])
+
+
 def timeit(name, fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        fetch(out)
         ts.append(time.perf_counter() - t0)
-    print(f"{name:40s} {min(ts)*1e3:9.1f} ms", flush=True)
+    print(f"{name:44s} {min(ts)*1e3:9.1f} ms", flush=True)
     return out
 
 
 def main():
-    print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     x = np.linspace(0, 20, TILE)[None, :]
     y = np.linspace(0, 15, TILE)[:, None]
@@ -36,42 +44,35 @@ def main():
            + 50 * np.sin(x) * np.cos(y)
            + 0.5 * rng.standard_normal((TILE, TILE))).astype(np.float32)
     data = jnp.asarray(dem[:, :, None])
-    jax.block_until_ready(data)
+    fetch(data)
 
-    # dispatch overhead
-    f = jax.jit(lambda a: a + 1)
-    timeit("dispatch overhead (a+1, 16MB)", f, data)
+    timeit("rtt baseline", jax.jit(lambda a: a[0, 0, 0] + 1), data)
 
     codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MZE)
 
-    # full fused encode
-    header, stream, meta = timeit("encode_fused total", codec.encode_fast, data)
+    header, stream, meta, starts = timeit("encode_fused total", codec.encode_fast, data)
 
-    # encode_tiles alone
     ones = jnp.ones((TILE, TILE), bool)
     enc = lambda d: device_encode.encode_tiles(
         d, ones, jnp.float32(MZE), TILE, TILE, 1, DataType.FLOAT, True, 6, codec.cap)
-    stream2, total, zmn, zmx = timeit("  encode_tiles", enc, data)
+    timeit("  encode_tiles", enc, data)
 
-    # fletcher
     fl = lambda s, t: device_scan.fletcher32_device(header[54:], s, t)
     timeit("  fletcher32_device", fl, stream, meta[0])
 
-    # full fused decode
-    img, ok = timeit("decode_fused total", codec.decode_fast, header, stream)
+    img, ok = timeit("decode_fused_fast total",
+                     lambda h, s, st: codec.decode_fast(h, s, st), header, stream, starts)
 
-    n_rec = codec.n_rec
-    scan = lambda s: device_scan.scan_records_device(s, n_rec, DataType.FLOAT, 6, 64)
-    scanned = timeit("  scan_records_device", scan, stream)
-    (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = scanned
+    zmx = jnp.asarray([float(np.asarray(img).max())], np.float32)
+    timeit("  index_records_device",
+           lambda s, st: device_decode.index_records_device(s, st, DataType.FLOAT, 6),
+           stream, starts)
+    timeit("  decode_tiles_fast",
+           lambda s, st: device_decode.decode_tiles_fast(
+               s, st, jnp.float32(MZE), zmx, TILE, TILE, 1, DataType.FLOAT, 6),
+           stream, starts)
 
-    dec = lambda s: device_decode.decode_tiles(
-        s, mode, payload_pos, offset, r_nb, r_ne, lut_pos, r_nlut, r_nbits_lut,
-        ones, jnp.float32(MZE), jnp.asarray([float(np.asarray(zmx)[0])], np.float32),
-        TILE, TILE, 1, DataType.FLOAT, True, False)
-    timeit("  decode_tiles", dec, stream)
-
-    print(f"total bytes: {int(np.asarray(meta)[0])}, cap {codec.cap}, n_rec {n_rec}")
+    print(f"total bytes: {int(np.asarray(meta)[0])}, cap {codec.cap}, n_rec {codec.n_rec}")
 
 
 if __name__ == "__main__":
