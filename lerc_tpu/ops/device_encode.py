@@ -416,7 +416,10 @@ def encode_tiles(
     n_rec = n_blocks * d
 
     # ---- assembly: exclusive scan of lengths -> shift each record by
-    # (starts & 3) bytes -> word-level scatter-add at starts >> 2
+    # (starts & 3) bytes -> roll to its lane offset -> row-level scatter-add
+    # of [2, 128]-word rows. Full-row scatter updates move 512 B per index
+    # and run ~100x faster than element scatters on TPU; adjacent records
+    # share boundary words and merge by addition (tails are zero-masked).
     starts = (jnp.cumsum(length) - length).astype(jnp.int32)
     total = starts[-1] + length[-1]
 
@@ -425,9 +428,19 @@ def encode_tiles(
     for k in (1, 2, 3):
         shifted = jnp.where((sh == k)[:, None], _shift_words_1b(rec, k), shifted)
 
-    base = (starts >> 2)[:, None] + jnp.arange(rec_w + 1, dtype=jnp.int32)[None, :]
-    out_words = jnp.zeros(cap_w, jnp.uint32)
-    out_words = out_words.at[base.ravel()].add(shifted.ravel(), mode="drop")
+    q = starts >> 2  # word offset; rec_w + 1 + 127 <= 256 keeps spans in 2 rows
+    assert rec_w + 1 + 127 <= 256
+    lane = (q & 127)[:, None]
+    rec256 = jnp.concatenate(
+        [shifted, jnp.zeros((n_rec, 256 - rec_w - 1), jnp.uint32)], axis=1
+    )
+    for b in range(7):  # dynamic lane roll composed from static rolls
+        rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
 
-    stream = jax.lax.bitcast_convert_type(out_words, jnp.uint8).reshape(cap)
+    n_row = cap_w // 128
+    rows_idx = (q >> 7)[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
+    out2 = jnp.zeros((n_row, 128), jnp.uint32)
+    out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, 2, 128), mode="drop")
+
+    stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
     return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts

@@ -1,6 +1,6 @@
-"""Probe Mosaic/Pallas TPU capabilities needed for the codec kernels:
-dynamic 1D VMEM slice read/write, dynamic-offset DMA, roll, etc."""
-import functools
+"""Probe Mosaic/Pallas TPU capabilities for the codec kernels (2D layouts:
+last dim 128 lanes static, dynamic offsets on the sublane dim).
+Jitted callables are created ONCE; timing is 2nd+ calls with forced fetch."""
 import time
 
 import jax
@@ -15,172 +15,124 @@ def fetch(out):
     return np.asarray(leaf.ravel()[0:1])
 
 
-def probe(name, fn):
+def probe(name, fn, *args, reps=3):
     try:
-        out = fn()
+        out = fn(*args)
         fetch(out)
-        t0 = time.perf_counter()
-        fetch(fn())
-        dt = (time.perf_counter() - t0) * 1e3
-        print(f"OK   {name:44s} {dt:8.1f} ms", flush=True)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        print(f"OK   {name:48s} {min(ts)*1e3:8.1f} ms", flush=True)
         return out
     except Exception as e:
-        msg = str(e).split("\n")[0][:120]
-        print(f"FAIL {name:44s} {type(e).__name__}: {msg}", flush=True)
+        msg = str(e).split("\n")[0][:100]
+        print(f"FAIL {name:48s} {type(e).__name__}: {msg}", flush=True)
         return None
 
 
-# ---- 1. dynamic 1D slice READ from VMEM (traced scalar offset)
-def dyn_read():
-    def k(off_ref, in_ref, out_ref):
-        o = off_ref[0]
-        out_ref[:] = in_ref[pl.ds(o, 128)]
+# ---- dynamic sublane WRITE with accumulate, in a fori_loop
+def _k_write(off_ref, val_ref, out_ref):
+    out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    x = jnp.arange(1024, dtype=jnp.int32)
-    off = jnp.asarray([37], jnp.int32)
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((128,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(off, x)
+    def body(i, _):
+        o = off_ref[i]
+        out_ref[pl.ds(o, 2), :] += val_ref[pl.ds(2 * i, 2), :]
+        return 0
+
+    jax.lax.fori_loop(0, 512, body, 0, unroll=False)
 
 
-r = probe("dyn 1D VMEM slice read", dyn_read)
+write_call = jax.jit(pl.pallas_call(
+    _k_write,
+    out_shape=jax.ShapeDtypeStruct((256, 128), jnp.int32),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+              pl.BlockSpec(memory_space=pltpu.VMEM)],
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+))
+
+vals = jnp.ones((1024, 128), jnp.int32)
+offs = jnp.asarray(np.arange(512) % 250, jnp.int32)
+r = probe("dyn sublane write+= x512 (1 program)", write_call, offs, vals)
 if r is not None:
-    exp = np.arange(37, 37 + 128)
-    print("     correct:", bool((np.asarray(r) == exp).all()))
+    print("     sum==1024*128:", int(np.asarray(r).sum()) == 1024 * 128)
 
 
-# ---- 2. dynamic 1D slice WRITE (read-modify-write accumulate)
-def dyn_write():
-    def k(off_ref, val_ref, out_ref):
-        out_ref[:] = jnp.zeros_like(out_ref)
-        def body(i, _):
-            o = off_ref[i]
-            out_ref[pl.ds(o, 128)] += val_ref[i, :]
-            return 0
-        jax.lax.fori_loop(0, 8, body, 0)
+# ---- window-extract kernel: grid 128, per-program 512 dyn reads + roll
+def _k_window(off_ref, stream_ref, out_ref):
+    def body(i, _):
+        o = off_ref[i]
+        word = o >> 7
+        lane = o & 127
+        rows = stream_ref[pl.ds(word, 2), :]
+        for b in range(7):
+            rows = jnp.where((lane >> b) & 1 == 1, pltpu.roll(rows, -(1 << b), 1), rows)
+        out_ref[pl.ds(2 * i, 2), :] = rows
+        return 0
 
-    vals = jnp.ones((8, 128), jnp.int32)
-    offs = jnp.asarray([0, 100, 200, 300, 400, 500, 600, 700], jnp.int32)
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((1024,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(offs, vals)
+    jax.lax.fori_loop(0, 512, body, 0, unroll=False)
 
 
-r = probe("dyn 1D VMEM slice write+=, 8 iters", dyn_write)
-if r is not None:
-    out = np.asarray(r)
-    print("     correct:", out.sum() == 8 * 128, out[:3], out[100:103])
-
-
-# ---- 3. serial loop of 512 dynamic writes (assembly kernel inner loop)
-def dyn_write_512():
-    def k(off_ref, val_ref, out_ref):
-        out_ref[:] = jnp.zeros_like(out_ref)
-        def body(i, _):
-            o = off_ref[i]
-            out_ref[pl.ds(o, 128)] += val_ref[i, :]
-            return 0
-        jax.lax.fori_loop(0, 512, body, 0)
-
-    vals = jnp.ones((512, 128), jnp.int32)
-    offs = jnp.asarray(np.arange(512) * 64, jnp.int32)
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((512 * 64 + 128,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(offs, vals)
-
-
-probe("dyn 1D VMEM write x512 serial", dyn_write_512)
-
-
-# ---- 4. grid of 128 programs x 512 dynamic reads (decode window shape)
-def window_kernel():
-    N, R, W = 65536, 512, 64
-
-    def k(off_ref, stream_ref, out_ref):
-        def body(i, _):
-            o = off_ref[i]
-            out_ref[i, :] = stream_ref[pl.ds(o, W)]
-            return 0
-        jax.lax.fori_loop(0, R, body, 0)
-
-    stream = jnp.arange(140 * 1024, dtype=jnp.uint32)
-    offs = jnp.asarray(np.random.default_rng(0).integers(0, 130000, N), jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+N, R = 65536, 512
+window_call = jax.jit(pl.pallas_call(
+    _k_window,
+    grid_spec=pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(N // R,),
         in_specs=[
             pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((N, W), jnp.uint32),
-        grid_spec=grid_spec,
-    )(offs, stream)
+        out_specs=pl.BlockSpec((2 * R, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    ),
+    out_shape=jax.ShapeDtypeStruct((2 * N, 128), jnp.uint32),
+))
 
-
-r = probe("window: 65536 dyn reads of 64 words", window_kernel)
-
-# ---- 5. DMA HBM->VMEM at dynamic offset
-def dyn_dma():
-    def k(off_ref, hbm_ref, out_ref):
-        def body(scratch, sem):
-            o = off_ref[0]
-            dma = pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(o, 4096)], scratch, sem)
-            dma.start()
-            dma.wait()
-            out_ref[:] = scratch[:]
-        pl.run_scoped(
-            body,
-            scratch=pltpu.VMEM((4096,), jnp.uint32),
-            sem=pltpu.SemaphoreType.DMA,
-        )
-
-    x = jnp.arange(1 << 20, dtype=jnp.uint32)
-    off = jnp.asarray([12345], jnp.int32)
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((4096,), jnp.uint32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(off, x)
-
-
-r = probe("DMA HBM->VMEM dynamic offset", dyn_dma)
+stream = jnp.arange(1024 * 128, dtype=jnp.uint32).reshape(1024, 128)
+offs_w = jnp.asarray(np.random.default_rng(0).integers(0, 128 * 1000, N), jnp.int32)
+r = probe("window kernel: 65536 x (dyn read + roll)", window_call, offs_w, stream)
 if r is not None:
-    print("     correct:", bool((np.asarray(r) == np.arange(12345, 12345 + 4096)).all()))
+    out = np.asarray(r)
+    o0 = int(np.asarray(offs_w[0]))
+    print("     spot correct:", int(out[0, 0]) == o0)
 
 
-# ---- 6. pltpu.roll with traced shift
-def dyn_roll():
-    def k(sh_ref, in_ref, out_ref):
-        out_ref[:] = pltpu.roll(in_ref[:], sh_ref[0], 0)
+# ---- assembly-style kernel: grid 128, per-program 512 roll+RMW
+def _k_asm(off_ref, val_ref, out_ref):
+    out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    x = jnp.arange(1024, dtype=jnp.int32)
-    sh = jnp.asarray([5], jnp.int32)
-    return pl.pallas_call(
-        k,
-        out_shape=jax.ShapeDtypeStruct((1024,), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(sh, x)
+    def body(i, _):
+        o = off_ref[i]
+        word = o >> 7
+        lane = o & 127
+        rows = val_ref[pl.ds(2 * i, 2), :]
+        for b in range(7):
+            rows = jnp.where((lane >> b) & 1 == 1, pltpu.roll(rows, 1 << b, 1), rows)
+        out_ref[pl.ds(word, 2), :] += rows
+        return 0
+
+    jax.lax.fori_loop(0, 512, body, 0, unroll=False)
 
 
-probe("pltpu.roll dynamic shift", dyn_roll)
+asm_call = jax.jit(pl.pallas_call(
+    _k_asm,
+    grid_spec=pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N // R,),
+        in_specs=[
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((300, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    ),
+    out_shape=jax.ShapeDtypeStruct((300, 128), jnp.uint32),
+))
+
+vals_u = jnp.ones((2 * N, 128), jnp.uint32)
+offs_a = jnp.asarray(np.random.default_rng(1).integers(0, 290 * 128, N), jnp.int32)
+r = probe("asm kernel: 65536 x (roll + dyn RMW)", asm_call, offs_a, vals_u)
+if r is not None:
+    print("     sum==2*65536*128:", int(np.asarray(r).sum()) == 2 * N * 128)
