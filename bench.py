@@ -84,18 +84,24 @@ def bench_ours(rounds=4):
     fetch(probes), fetch(oks)
     print(f"decode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
 
+    # Chain CHAIN batched calls per timed fetch: the device pipeline runs
+    # back to back (as in production) and the ~25 ms tunnel round trip is
+    # amortized instead of charged to every batch.
+    CHAIN = 3
     best_enc = best_dec = np.inf
     for _ in range(rounds):
         t0 = time.perf_counter()
-        headers, streams, metas, starts = enc_b(tiles)
+        for _ in range(CHAIN):
+            headers, streams, metas, starts = enc_b(tiles)
         metas_h = fetch(metas)  # [T, 2] scalars; depends on full checksum
         t1 = time.perf_counter()
-        imgs, oks, probes = dec_b(headers, streams, starts)
+        for _ in range(CHAIN):
+            imgs, oks, probes = dec_b(headers, streams, starts)
         fetch(probes)
         oks_h = fetch(oks)
         t2 = time.perf_counter()
-        best_enc = min(best_enc, t1 - t0)
-        best_dec = min(best_dec, t2 - t1)
+        best_enc = min(best_enc, (t1 - t0) / CHAIN)
+        best_dec = min(best_dec, (t2 - t1) / CHAIN)
     assert oks_h.all(), "checksum verification failed"
 
     blob_bytes = int(metas_h[:, 0].sum()) + codec._hdr_len * N_TILES

@@ -137,18 +137,29 @@ def _pack_words(cq, nb, n_blocks, pw: int):
     lo = cq << sh
     spill = jnp.where(sh > 0, cq >> (jnp.uint32(32) - sh), 0)
     wr = jnp.arange(pw, dtype=jnp.int32)
-    oh_lo = (w_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
-    oh_hi = ((w_idx + 1)[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+    oh = (w_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+    # one batched [pw, 64] @ [64, 8] matmul: 4 lo byte lanes + 4 spill
+    # lanes (spill targets word w_idx + 1 == a one-word shift of the
+    # same one-hot, applied to the result instead)
+    lanes = jnp.stack(
+        [((lo >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)]
+        + [((spill >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
+        axis=2,
+    )  # [nB, 64, 8]
+    s = jax.lax.dot_general(
+        oh, lanes, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32)  # [nB, pw, 8]
     out = jnp.zeros((n_blocks, pw), jnp.uint32)
     for b in range(4):
-        lob = ((lo >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
-        spb = ((spill >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
-        s = jnp.einsum("rv,rvw->rw", lob, oh_lo,
-                       preferred_element_type=jnp.float32)
-        s = s + jnp.einsum("rv,rvw->rw", spb, oh_hi,
-                           preferred_element_type=jnp.float32)
-        out = out + (s.astype(jnp.uint32) << (8 * b))
-    return out
+        out = out + (s[:, :, b] << (8 * b))
+    sp = jnp.zeros((n_blocks, pw), jnp.uint32)
+    for b in range(4):
+        sp = sp + (s[:, :, 4 + b] << (8 * b))
+    # spill lands one word later
+    return out + jnp.concatenate(
+        [jnp.zeros((n_blocks, 1), jnp.uint32), sp[:, :-1]], axis=1
+    )
 
 
 def _shift_words_1b(w, k: int):
@@ -245,26 +256,24 @@ def encode_tiles(
             # lossy int: f32 + fixup against integer reconstruction
             q0 = jnp.round((xi - zmin_i[:, None]).astype(jnp.float32) * scale).astype(jnp.int32)
             inv_i = jnp.round(inv_scale).astype(jnp.int32)
-            best = q0
-            best_err = jnp.abs(xi - (zmin_i[:, None] + q0 * inv_i))
-            for delta in (-1, 1):
-                qc = jnp.maximum(q0 + delta, 0)
-                errc = jnp.abs(xi - (zmin_i[:, None] + qc * inv_i))
-                best = jnp.where(errc < best_err, qc, best)
-                best_err = jnp.minimum(errc, best_err)
+            # sign-directed fixup: err(q) is V-shaped, so the only possibly
+            # better candidate is one step toward the residual's sign
+            resid = xi - (zmin_i[:, None] + q0 * inv_i)
+            qc = jnp.maximum(q0 + jnp.sign(resid), 0)
+            errc = jnp.abs(xi - (zmin_i[:, None] + qc * inv_i))
+            best = jnp.where(errc < jnp.abs(resid), qc, q0)
             q = jnp.where(int_lossless, q_ll, best).astype(jnp.uint32)
             zmin = zmin_i.astype(jnp.float32)  # only used for mode heuristics
             zmin_store = zmin_i
         else:
             dx = fb - zmin[:, None]
             q0 = jnp.round(dx * scale)
-            best = q0
-            best_err = jnp.abs(fb - (zmin[:, None] + q0 * inv_scale))
-            for delta in (-1.0, 1.0):
-                qc = jnp.maximum(q0 + delta, 0.0)
-                errc = jnp.abs(fb - (zmin[:, None] + qc * inv_scale))
-                best = jnp.where(errc < best_err, qc, best)
-                best_err = jnp.minimum(errc, best_err)
+            # sign-directed fixup: err(q) is V-shaped, so the only possibly
+            # better candidate is one step toward the residual's sign
+            resid = fb - (zmin[:, None] + q0 * inv_scale)
+            qc = jnp.maximum(q0 + jnp.sign(resid), 0.0)
+            errc = jnp.abs(fb - (zmin[:, None] + qc * inv_scale))
+            best = jnp.where(errc < jnp.abs(resid), qc, q0)
             q = jnp.clip(best, 0.0, 2.0**31).astype(jnp.uint32)
             zmin_store = zmin
 
