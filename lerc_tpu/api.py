@@ -256,13 +256,11 @@ def getLercDataRanges(lerc_blob, n_depth, n_bands, printInfo=False):
                 return (int(ErrCode.HAS_NO_DATA), None, None)
             from .codec import lerc2_decode
 
-            band = lerc2_decode.decode_band(src[off:], prev_mask=None, verify_checksum=False)
-            if band.z_min_vec is not None:
-                mins[i_band * n_depth : (i_band + 1) * n_depth] = band.z_min_vec
-                maxs[i_band * n_depth : (i_band + 1) * n_depth] = band.z_max_vec
-            else:
-                mins[i_band * n_depth : (i_band + 1) * n_depth] = hd.z_min
-                maxs[i_band * n_depth : (i_band + 1) * n_depth] = hd.z_max
+            # header + mask-skip + ranges-section read only (no pixel
+            # decode), like the reference Lerc2::GetRanges
+            _hd, (z_mins, z_maxs) = lerc2_decode.read_band_ranges(src[off:])
+            mins[i_band * n_depth : (i_band + 1) * n_depth] = z_mins
+            maxs[i_band * n_depth : (i_band + 1) * n_depth] = z_maxs
     except ValueError:
         return (int(ErrCode.FAILED), None, None)
     shape = (n_bands, n_depth)

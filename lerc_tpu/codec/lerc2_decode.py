@@ -56,6 +56,30 @@ def read_variable_value(src: memoryview, dt_used: DataType) -> tuple[float, int]
 # main decode
 # -------------------------------------------------------------------------
 
+def read_band_ranges(buf: bytes | memoryview):
+    """Per-depth (z_min_vec, z_max_vec) of one band WITHOUT pixel decode:
+    header + mask-section skip + ranges-section read only, mirroring
+    Lerc2::GetRanges (reference Lerc2.cpp:514-573). Falls back to the
+    header's scalar zMin/zMax for v<4 blobs or const images."""
+    src = memoryview(buf)
+    hd, pos = hdr.read_header(src)
+    n_depth = hd.n_depth
+    num_bytes_mask = int.from_bytes(src[pos : pos + 4], "little", signed=True)
+    if num_bytes_mask < 0:
+        raise ValueError("negative mask size")
+    pos += 4 + num_bytes_mask  # skip the RLE mask payload untouched
+    scalar = (np.full(n_depth, hd.z_min), np.full(n_depth, hd.z_max))
+    if hd.num_valid_pixel == 0 or hd.z_min == hd.z_max or hd.version < 4:
+        return hd, scalar
+    np_dt = DT_TO_NUMPY[hd.dt]
+    nb = n_depth * DT_SIZE[hd.dt]
+    z_mins = np.frombuffer(src[pos : pos + nb], dtype=np_dt).astype(np.float64)
+    z_maxs = np.frombuffer(src[pos + nb : pos + 2 * nb], dtype=np_dt).astype(np.float64)
+    if len(z_mins) != n_depth or len(z_maxs) != n_depth:
+        raise ValueError("truncated ranges section")
+    return hd, (z_mins, z_maxs)
+
+
 def decode_band(
     buf: bytes | memoryview,
     prev_mask: np.ndarray | None = None,

@@ -103,3 +103,24 @@ def test_compress_decompress_pythonic():
 def test_blob_info_errors():
     rv = lerc.getLercBlobInfo(b"garbage not a lerc blob")
     assert rv[0] == int(lerc.ErrCode.FAILED)
+
+
+def test_data_ranges_match_reference_no_decode():
+    """getLercDataRanges must agree with the reference's lerc_getDataRanges
+    on a reference-encoded multi-band nDepth>1 blob (header+ranges reads
+    only -- mirrors Lerc2::GetRanges, Lerc2.cpp:514-573)."""
+    from . import oracle
+
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("reference lib not built")
+    rng = np.random.default_rng(11)
+    n_bands, h, w, n_dep = 2, 40, 50, 3
+    data = rng.normal(500, 80, (n_bands, h, w, n_dep)).astype(np.float32)
+    blob = oracle.encode(data, n_dep, w, h, n_bands, None, 0.001)
+    ref_mins, ref_maxs = oracle.data_ranges(blob, n_dep, n_bands)
+    result, mins, maxs = lerc.getLercDataRanges(blob, n_dep, n_bands)
+    assert result == 0
+    np.testing.assert_array_equal(mins.ravel(), np.asarray(ref_mins).ravel())
+    np.testing.assert_array_equal(maxs.ravel(), np.asarray(ref_maxs).ravel())
