@@ -15,10 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, dt_is_int
-from ..ops import device_decode, device_encode
+from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, ImageEncodeMode, dt_is_int
+from ..ops import device_decode, device_encode, device_huffman
 from .. import native
-from . import fletcher32, header as hdr, rle
+from . import fletcher32, header as hdr, huffman, rle
 from .bitmask import bits_to_bool, bool_to_bits, mask_size_bytes
 from .lerc2_decode import DecodedBand
 
@@ -29,11 +29,12 @@ def _round_cap(n: int) -> int:
     return cap
 
 
-def supports_encode(dt: DataType, max_z_error: float, n_depth: int) -> bool:
+def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
+                    all_valid: bool = True) -> bool:
     if dt == DataType.DOUBLE:
         return False
-    if dt in (DataType.BYTE, DataType.CHAR) and max_z_error <= 0.5:
-        return False  # Huffman candidate -> host
+    if dt in (DataType.BYTE, DataType.CHAR) and max_z_error <= 0.5 and not all_valid:
+        return False  # masked Huffman candidate -> host (ragged symbol stream)
     if dt == DataType.FLOAT and max_z_error == 0:
         return False  # fpl candidate -> host
     return True
@@ -50,14 +51,14 @@ def encode_band_device(
     np_dtype = np.dtype(data.dtype)
     dt = NUMPY_TO_DT[np_dtype]
     h, w, d = data.shape
-    if not supports_encode(dt, max_z_error, d):
-        raise ValueError("configuration not supported by the device encoder")
 
     mze = float(max_z_error)
     if dt_is_int(dt):
         mze = max(0.5, np.floor(mze))
 
     all_valid = mask is None or bool(np.asarray(mask).all())
+    if not supports_encode(dt, max_z_error, d, all_valid):
+        raise ValueError("configuration not supported by the device encoder")
     if all_valid:
         num_valid = h * w
         mask_np = np.ones((h, w), dtype=bool)
@@ -125,13 +126,70 @@ def encode_band_device(
             return assemble(ranges, b"")
 
     payload = np.asarray(stream)[:total].tobytes()  # fixed-shape transfer, host slice
-    n_one_sweep = DT_SIZE[dt] * d * num_valid
+    n_bytes_data = total
+    image_mode = ImageEncodeMode.TILING
     try_huffman = head.try_huffman_int() or head.try_huffman_flt()
-    if n_one_sweep <= total + (1 if try_huffman else 0):
+
+    # whole-image Huffman candidate (8-bit types, lossless): device
+    # histogram + symbol packing, host tree build (256 symbols)
+    if head.try_huffman_int() and all_valid:
+        hm = _encode_huffman_device(data_dev, h, w, d, dt, version)
+        if hm is not None and len(hm[1]) < n_bytes_data:
+            image_mode, hbytes = hm
+            payload = hbytes
+            n_bytes_data = len(hbytes)
+
+    n_one_sweep = DT_SIZE[dt] * d * num_valid
+    if n_one_sweep <= n_bytes_data + (1 if try_huffman else 0):
         body = b"\x01" + np.asarray(data)[mask_np].astype(np_dt).tobytes()
     else:
-        body = b"\x00" + (b"\x00" if try_huffman else b"") + payload
+        body = b"\x00"
+        if try_huffman:
+            body += bytes([int(image_mode)])
+        body += payload
     return assemble(ranges, body)
+
+
+def _encode_huffman_device(data_dev, h, w, d, dt, version):
+    """Device Huffman encode (all-valid): returns (ImageEncodeMode, table +
+    MSB-first stream bytes) or None. Mirrors the host
+    BandEncoder._encode_huffman_int selection (Lerc2.cpp:2384-2468)."""
+    direct, delta = device_huffman.symbol_streams_device(data_dev, h, w, d, dt)
+    histo = np.asarray(device_huffman.histogram256(direct)).astype(np.int64)
+    dhisto = np.asarray(device_huffman.histogram256(delta)).astype(np.int64)
+
+    def size_of(hst):
+        lengths = huffman.compute_code_lengths(hst)
+        if lengths is None:
+            return None, None
+        nb = huffman.compute_compressed_size(hst, lengths)
+        return (nb if nb > 0 else None), lengths
+
+    nb0, len0 = size_of(histo) if version >= 4 else (None, None)
+    nb1, len1 = size_of(dhisto)
+    if nb0 is None and nb1 is None:
+        return None
+    if nb0 is not None and (nb1 is None or nb0 <= nb1):
+        mode, lengths, syms, hst = ImageEncodeMode.HUFFMAN, len0, direct, histo
+    else:
+        mode, lengths, syms, hst = ImageEncodeMode.DELTA_HUFFMAN, len1, delta, dhisto
+    codes = huffman.canonical_codes(lengths)
+    table = huffman.write_code_table(lengths, codes, version)
+
+    lens_codes = np.zeros((256, 5), np.float32)
+    lens_codes[:, 0] = lengths
+    for b in range(4):
+        lens_codes[:, 1 + b] = (codes >> (8 * b)) & 0xFF
+    total_bits = int((hst * lengths.astype(np.int64)).sum())
+    stream_bytes = 4 * (-(-total_bits // 32) + 1)  # +1 read-ahead pad uint32
+    max_len = int(lengths.max())
+    pwh = next(p for p in (18, 34, 66) if p >= (device_huffman.GROUP * max_len + 31) // 32 + 1)
+    cap = 1 << max(12, (stream_bytes + 512 - 1).bit_length())
+    stream, tb = device_huffman.encode_stream_device(
+        syms, jnp.asarray(lens_codes), cap, pwh
+    )
+    assert int(tb) == total_bits
+    return mode, table + np.asarray(stream)[:stream_bytes].tobytes()
 
 
 def decode_band_device(

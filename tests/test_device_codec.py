@@ -103,10 +103,59 @@ def test_fallback_routing():
     from lerc_tpu.constants import DataType
 
     assert not supports_encode(DataType.DOUBLE, 0.1, 1)
-    assert not supports_encode(DataType.BYTE, 0.0, 1)
+    assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman (all-valid)
+    assert not supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)
     assert not supports_encode(DataType.FLOAT, 0.0, 1)
     assert supports_encode(DataType.FLOAT, 0.001, 1)
     # device decoder bails to host on one-sweep blobs
     noisy = np.random.default_rng(1).normal(0, 50, (H, W, 1)).astype(np.float32)
     host_blob = BandEncoder(noisy, None, 0.0).encode()
     assert decode_band_device(host_blob) is None  # fpl or one-sweep -> host
+
+
+def test_device_huffman_8bit_lossless():
+    """Device whole-image Huffman (8-bit lossless): blob must decode
+    bit-exactly through our host decoder and the reference library, and
+    actually select a Huffman mode on low-entropy data."""
+    rng = np.random.default_rng(42)
+    h, w = 96, 120
+    # smooth image -> delta-Huffman strongly favored
+    base = (128 + 60 * np.sin(np.linspace(0, 6, h))[:, None]
+            * np.cos(np.linspace(0, 4, w))[None, :])
+    data = np.clip(base + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)
+    data3 = data[:, :, None]
+
+    blob = encode_band_device(data3, None, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0, :, :, 0], data)
+    # must beat the tiling size on this data (i.e. Huffman mode chosen)
+    from lerc_tpu.codec import header as hdr_mod
+    hd, pos = hdr_mod.read_header(memoryview(blob))
+    pos += 4  # mask section length (all valid)
+    pos += 2 * hd.n_depth  # uint8 ranges
+    assert blob[pos] == 0  # not one-sweep
+    assert blob[pos + 1] in (1, 2), f"expected Huffman mode, got {blob[pos + 1]}"
+
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, data)
+
+    # host encoder on the same data: sizes comparable (same mode family)
+    host_blob = BandEncoder(data3, None, 0.0).encode()
+    assert abs(len(host_blob) - len(blob)) < 64, (len(blob), len(host_blob))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int8])
+def test_device_huffman_dtypes_random(dtype):
+    rng = np.random.default_rng(7)
+    h, w = 64, 72
+    lo, hi = (0, 200) if dtype == np.uint8 else (-100, 100)
+    data = rng.integers(lo, hi, (h, w, 1)).astype(dtype)
+    # skewed distribution so Huffman wins over tiling
+    data[data % 3 != 0] //= 2
+    blob = encode_band_device(data, None, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0], data)
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, data.reshape(h, w))
