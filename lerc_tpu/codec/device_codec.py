@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, ImageEncodeMode, dt_is_int
-from ..ops import device_decode, device_encode, device_huffman
+from ..ops import device_decode, device_encode, device_fpl, device_huffman
 from .. import native
 from . import fletcher32, header as hdr, huffman, rle
 from .bitmask import bits_to_bool, bool_to_bits, mask_size_bytes
@@ -35,8 +35,6 @@ def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
         return False
     if dt in (DataType.BYTE, DataType.CHAR) and max_z_error <= 0.5 and not all_valid:
         return False  # masked Huffman candidate -> host (ragged symbol stream)
-    if dt == DataType.FLOAT and max_z_error == 0:
-        return False  # fpl candidate -> host
     return True
 
 
@@ -138,6 +136,14 @@ def encode_band_device(
             image_mode, hbytes = hm
             payload = hbytes
             n_bytes_data = len(hbytes)
+    elif head.try_huffman_flt() and dt == DataType.FLOAT:
+        # fpl lossless float (v6): accepted only when >= 10% smaller than
+        # tiling (Lerc2.cpp:322)
+        fbytes = _encode_fpl_device(data_dev, h, w, d)
+        if fbytes is not None and len(fbytes) < n_bytes_data * 0.9:
+            image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
+            payload = fbytes
+            n_bytes_data = len(fbytes)
 
     n_one_sweep = DT_SIZE[dt] * d * num_valid
     if n_one_sweep <= n_bytes_data + (1 if try_huffman else 0):
@@ -148,6 +154,88 @@ def encode_band_device(
             body += bytes([int(image_mode)])
         body += payload
     return assemble(ranges, body)
+
+
+def _encode_fpl_device(data_dev, h, w, d):
+    """Device fpl lossless float encode: analysis + plane packing on
+    device, per-plane 256-symbol tree builds and section assembly on host.
+    Mirrors fpl_Lerc2Ext::EncodeHuffmanFlt's wire format
+    (fpl_Lerc2Ext.cpp:405-430); predictor / delta-level / method choices
+    may differ from the reference's sampling (any choice is decodable)."""
+    n = h * w * d
+    pred, levels_dev = device_fpl.fpl_choose_device(data_dev, h, w, d)
+    pred = int(pred)  # static for the finalize variant (3 compiles max)
+    histos, planes, pb_sizes = device_fpl.fpl_finalize_device(
+        data_dev, levels_dev, h, w, d, pred
+    )
+    levels = np.asarray(levels_dev)
+    histos = np.asarray(histos).astype(np.int64)
+    pb_sizes = np.asarray(pb_sizes)
+
+    lens_codes = np.zeros((4, 256, 5), np.float32)
+    metas: list[tuple] = []
+    max_len_all = 1
+    total_bits = [0, 0, 0, 0]
+    for b in range(4):
+        hst = histos[b]
+        if np.count_nonzero(hst) < 2:
+            metas.append(("rle", None, None))
+            continue
+        lengths = huffman.compute_code_lengths(hst)
+        hb = huffman.compute_compressed_size(hst, lengths) if lengths is not None else -1
+        if lengths is None or hb <= 0:
+            hb = 1 << 60
+        pb = int(pb_sizes[b])
+        if pb < hb and pb < n:  # PackBits wins: exact encode on host
+            metas.append(("packbits", None, None))
+            continue
+        if hb >= n:
+            metas.append(("raw", None, None))
+            continue
+        codes = huffman.canonical_codes(lengths)
+        lens_codes[b, :, 0] = lengths
+        for i in range(4):
+            lens_codes[b, :, 1 + i] = (codes >> (8 * i)) & 0xFF
+        metas.append(("huff", lengths, codes))
+        total_bits[b] = int((hst * lengths.astype(np.int64)).sum())
+        max_len_all = max(max_len_all, int(lengths.max()))
+
+    streams = None
+    if any(m[0] == "huff" for m in metas):
+        pwh = next(p for p in (18, 34, 66)
+                   if p >= (device_huffman.GROUP * max_len_all + 31) // 32 + 1)
+        need = max(4 * (-(-tb // 32) + 1) for tb in total_bits)
+        cap = 1 << max(12, (need + 511).bit_length())
+        streams, _tbs = device_fpl.fpl_pack_planes_device(
+            planes, jnp.asarray(lens_codes), cap, pwh
+        )
+        streams = np.asarray(streams)
+
+    planes_h = None
+    out = bytearray([pred])
+    for b in range(4):
+        kind, lengths, codes = metas[b]
+        if kind == "rle":
+            v = int(np.argmax(histos[b]))
+            payload = bytes([1, v]) + struct.pack("<I", n)
+        elif kind == "packbits":
+            from . import fpl_impl
+
+            if planes_h is None:
+                planes_h = np.asarray(planes)
+            payload = b"\x03" + fpl_impl.encode_packbits(planes_h[b])
+        elif kind == "raw":
+            if planes_h is None:
+                planes_h = np.asarray(planes)
+            payload = b"\x02" + planes_h[b].tobytes()
+        else:
+            table = huffman.write_code_table(lengths, codes, 5)
+            sbytes = 4 * (-(-total_bits[b] // 32) + 1)
+            payload = b"\x00" + table + streams[b][:sbytes].tobytes()
+        out += bytes([b, int(levels[b])])
+        out += struct.pack("<I", len(payload))
+        out += payload
+    return bytes(out)
 
 
 def _encode_huffman_device(data_dev, h, w, d, dt, version):

@@ -105,7 +105,7 @@ def test_fallback_routing():
     assert not supports_encode(DataType.DOUBLE, 0.1, 1)
     assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman (all-valid)
     assert not supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)
-    assert not supports_encode(DataType.FLOAT, 0.0, 1)
+    assert supports_encode(DataType.FLOAT, 0.0, 1)  # device fpl lossless
     assert supports_encode(DataType.FLOAT, 0.001, 1)
     # device decoder bails to host on one-sweep blobs
     noisy = np.random.default_rng(1).normal(0, 50, (H, W, 1)).astype(np.float32)
@@ -159,3 +159,49 @@ def test_device_huffman_dtypes_random(dtype):
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(h, w)
         np.testing.assert_array_equal(ref, data.reshape(h, w))
+
+
+def test_device_fpl_float_lossless():
+    """Device fpl lossless float (v6): bit-exact through our host decoder
+    and the reference library; fpl mode must actually win on smooth data."""
+    rng = np.random.default_rng(5)
+    h, w = 80, 96
+    x = np.linspace(0, 4, w)[None, :]
+    y = np.linspace(0, 3, h)[:, None]
+    data = (1000 + 200 * np.sin(x) * np.cos(y)).astype(np.float32)[:, :, None]
+
+    blob = encode_band_device(data, None, 0.0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0, :, :, 0], data[:, :, 0])
+
+    from lerc_tpu.codec import header as hdr_mod
+    hd, pos = hdr_mod.read_header(memoryview(blob))
+    pos += 4 + 2 * 4 * hd.n_depth  # mask len + f32 ranges
+    assert blob[pos] == 0  # not one-sweep
+    assert blob[pos + 1] == 3, f"expected fpl mode 3, got {blob[pos + 1]}"
+
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, data[:, :, 0])
+
+    # noisy data: fpl should still round-trip exactly (may pick one-sweep)
+    noisy = rng.normal(0, 1, (h, w, 1)).astype(np.float32)
+    blob2 = encode_band_device(noisy, None, 0.0)
+    res2 = decode_blob(blob2)
+    np.testing.assert_array_equal(res2.data[0, :, :, 0], noisy[:, :, 0])
+    if oracle.available():
+        ref2 = oracle.decode(blob2)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref2, noisy[:, :, 0])
+
+
+def test_device_fpl_depth3():
+    rng = np.random.default_rng(6)
+    h, w, d = 48, 56, 3
+    base = (500 + 100 * np.sin(np.linspace(0, 5, h * w * d))).astype(np.float32)
+    data = (base + rng.normal(0, 0.5, h * w * d)).astype(np.float32).reshape(h, w, d)
+    blob = encode_band_device(data, None, 0.0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0], data)
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w, d)
+        np.testing.assert_array_equal(ref, data)
