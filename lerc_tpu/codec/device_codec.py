@@ -72,7 +72,8 @@ def encode_band_device(
     cap = _round_cap(num_valid * DT_SIZE[dt] * d + n_rec * 12 + 4096)
 
     stream, total, zmin_vec, zmax_vec, _starts = device_encode.encode_tiles(
-        data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap
+        data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap,
+        enable_lut=True,
     )
     total = int(total)
     if total > cap:

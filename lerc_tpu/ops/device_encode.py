@@ -174,9 +174,83 @@ def _shift_words_1b(w, k: int):
     return (wp >> (jnp.uint32(32) - s)) | (wn << s)
 
 
+def _compact_by_rank(vals, rank, valid, width: int):
+    """vals[r, p] placed at slot rank[r, p] where valid; one-hot MXU
+    routing over 4 byte lanes (exact). Returns [nR, width] u32."""
+    n_rec = vals.shape[0]
+    wr = jnp.arange(width, dtype=jnp.int32)
+    oh = (jnp.where(valid, rank, -1)[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+    lanes = jnp.stack(
+        [((vals >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)], axis=2
+    )
+    s = jax.lax.dot_general(
+        oh, lanes, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(jnp.uint32)
+    out = jnp.zeros((n_rec, width), jnp.uint32)
+    for b in range(4):
+        out = out | (s[:, :, b] << (8 * b))
+    return out
+
+
+def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
+    """Per-block LUT-mode candidate (BitStuffer2::EncodeLut semantics,
+    BitStuffer2.cpp:79-153): sorted distinct nonzero values bit-stuffed at
+    nb bits, then per-value indices at bitlen(nLut) bits; index 0 denotes
+    value 0. Returns (use-able mask pieces, payload words, lut_len)."""
+    srt = jnp.sort(cq, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((n_blocks, 1), 0xFFFFFFFF, jnp.uint32), srt[:, :-1]], axis=1
+    )
+    occ = srt != prev
+    occ_nz = occ & (srt > 0)
+    zero_present = (srt[:, 0] == 0).astype(jnp.int32)
+    n_lut = occ_nz.sum(axis=1).astype(jnp.int32)
+    nbits_lut = _bit_len(n_lut.astype(jnp.uint32))
+
+    # index of each value: #distinct <= v, minus 1 iff 0 is in the set
+    le = (srt[:, None, :] <= cq[:, :, None]) & occ[:, None, :]
+    idx = le.sum(axis=2).astype(jnp.int32) - zero_present[:, None]
+    pos = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
+    idx = jnp.where(pos < cnt[:, None], jnp.maximum(idx, 0), 0).astype(jnp.uint32)
+
+    rank_nz = jnp.cumsum(occ_nz, axis=1).astype(jnp.int32) - 1
+    lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, BS)
+    lutpk = _pack_words(lut_vals, nb, n_blocks, pw)
+    pw_idx = (BS * 6 + 31) // 32 + 1  # nbits_lut <= bitlen(63) == 6
+    idxpk = _pack_words(idx, nbits_lut, n_blocks, pw_idx)
+
+    lut_bytes = (n_lut * nb + 7) // 8
+    idx_bytes = (cnt * nbits_lut + 7) // 8
+
+    # payload: [nLut+1][lut stream][idx stream]; compose at word level
+    lw = _shift_words_1b(lutpk, 1)  # lut stream at byte 1
+    lw = jnp.concatenate(
+        [(lw[:, 0] | (n_lut + 1).astype(jnp.uint32))[:, None], lw[:, 1:]], axis=1
+    )
+    width = 128
+    lwp = jnp.concatenate(
+        [lw, jnp.zeros((n_blocks, width - lw.shape[1]), jnp.uint32)], axis=1
+    )
+    # idx stream at dynamic byte offset 1 + lut_bytes
+    ib = 1 + lut_bytes
+    sh = ib & 3
+    idx_sh = _shift_words_1b(idxpk, 0)
+    for k in (1, 2, 3):
+        idx_sh = jnp.where((sh == k)[:, None], _shift_words_1b(idxpk, k), idx_sh)
+    idxp = jnp.concatenate(
+        [idx_sh, jnp.zeros((n_blocks, width - idx_sh.shape[1]), jnp.uint32)], axis=1
+    )
+    lane = (ib >> 2)[:, None]
+    for b in range(7):  # word-level roll to the lut-stream end
+        idxp = jnp.where((lane >> b) & 1 == 1, jnp.roll(idxp, 1 << b, axis=1), idxp)
+    payload = lwp | idxp
+    lut_len_payload = 1 + lut_bytes + idx_bytes
+    return n_lut, payload, lut_len_payload
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap"),
+    static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap", "enable_lut"),
 )
 def encode_tiles(
     data,  # [H, W, D] float32 or int32
@@ -189,6 +263,7 @@ def encode_tiles(
     all_valid: bool,
     version: int,
     cap: int,
+    enable_lut: bool = False,
 ):
     """Returns (out_bytes [cap] u8, total_len, z_min_vec [D], z_max_vec [D],
     starts [nRec] i32) -- starts is the record-offset acceleration index."""
@@ -306,6 +381,21 @@ def encode_tiles(
         stuff_bytes = (cnt * nb + 7) // 8
         stuff_len = 1 + off_w + jnp.where(max_q > 0, 2 + stuff_bytes, 0)
         raw_len = 1 + cnt * size_t
+
+        # ---- packed payload words [nB, pw]
+        pk = _pack_words(cq, nb, n_blocks, pw)
+
+        if enable_lut:
+            n_lut, lut_payload, lut_payload_len = _lut_candidate(
+                cq, cnt, nb, n_blocks, pw
+            )
+            lut_len = 3 + off_w + lut_payload_len
+            use_lut = (max_q > 0) & (n_lut >= 1) & (lut_len < stuff_len)
+            stuff_len = jnp.where(use_lut, lut_len, stuff_len)
+            pk = jnp.where(use_lut[:, None], lut_payload[:, :pw], pk)
+        else:
+            use_lut = jnp.zeros(n_blocks, bool)
+
         use_stuff = (~force_raw) & (stuff_len < raw_len)
         mode = jnp.where(
             is_const0, 2,
@@ -317,9 +407,6 @@ def encode_tiles(
 
         flag = (integ | jnp.where(mode == 0, 0, jnp.where(mode == 2, 2, jnp.where(max_q > 0, 1, 3)))
                 | jnp.where(mode == 2, 0, jnp.where(mode == 0, 0, tc << 6))).astype(jnp.uint32)
-
-        # ---- packed payload words [nB, pw]
-        pk = _pack_words(cq, nb, n_blocks, pw)
         pkp = jnp.concatenate([jnp.zeros((n_blocks, 2), jnp.uint32), pk], axis=1)
         # pad to rec_w + 1 so static slices below stay in range
         if pkp.shape[1] < rec_w + 2:
@@ -328,7 +415,8 @@ def encode_tiles(
             )
 
         # cnt always < 256 -> count-width code 2 (1 byte)
-        nbb = (nb.astype(jnp.uint32) | jnp.uint32(2 << 6))  # numBits byte
+        nbb = (nb.astype(jnp.uint32) | (use_lut.astype(jnp.uint32) << 5)
+               | jnp.uint32(2 << 6))  # numBits byte (bit5 = LUT mode)
         cnt_u = cnt.astype(jnp.uint32)
 
         # ---- record words [nB, rec_w], gather-free composition.
