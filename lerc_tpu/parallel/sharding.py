@@ -29,10 +29,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import DataType, NUMPY_TO_DT, DT_SIZE, DT_TO_NUMPY
-from ..ops import device_encode
+from ..ops import device_decode, device_encode
 from ..codec import fletcher32, header as hdr
 
 MOSAIC_MAGIC = b"LercTpuMosaic1"
+MOSAIC_MAGIC2 = b"LercTpuMosaic2"  # adds the record-offset index section
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
@@ -62,24 +63,25 @@ def _encode_tiles_sharded(
     global_min [D], global_max [D]); all sharded/replicated appropriately."""
 
     def encode_one(tile, mask):
-        stream, total, zmin, zmax, _starts = device_encode.encode_tiles(
+        stream, total, zmin, zmax, starts = device_encode.encode_tiles(
             tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version, cap
         )
-        return stream, total, zmin.astype(jnp.float32), zmax.astype(jnp.float32)
+        return stream, total, zmin.astype(jnp.float32), zmax.astype(jnp.float32), starts
 
     def local_step(tiles_l, masks_l):
-        streams, totals, zmins, zmaxs = jax.vmap(encode_one)(tiles_l, masks_l)
+        streams, totals, zmins, zmaxs, starts = jax.vmap(encode_one)(tiles_l, masks_l)
         gmin = jax.lax.pmin(zmins.min(axis=0), "tiles")
         gmax = jax.lax.pmax(zmaxs.max(axis=0), "tiles")
         # sizes travel with an all-gather so every host can build the index
         all_sizes = jax.lax.all_gather(totals, "tiles", tiled=True)
-        return streams, totals, zmins, zmaxs, gmin, gmax, all_sizes
+        return streams, totals, zmins, zmaxs, gmin, gmax, all_sizes, starts
 
     return jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles")),
-        out_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles"), P(), P(), P()),
+        out_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles"), P(), P(), P(),
+                   P("tiles")),
         check_vma=False,
     )(tiles, masks)
 
@@ -140,29 +142,43 @@ class MosaicEncoder:
         if self.dt < DataType.FLOAT:
             mze = max(0.5, np.floor(mze))
 
-        streams, totals, zmins, zmaxs, gmin, gmax, all_sizes = _encode_tiles_sharded(
-            tiles_d, masks_d, jnp.float32(mze), self.mesh,
-            self.tile_h, self.tile_w, self.d, self.dt, self.version, self.cap,
+        streams, totals, zmins, zmaxs, gmin, gmax, all_sizes, starts = (
+            _encode_tiles_sharded(
+                tiles_d, masks_d, jnp.float32(mze), self.mesh,
+                self.tile_h, self.tile_w, self.d, self.dt, self.version, self.cap,
+            )
         )
         totals = np.asarray(totals)
         zmins = np.asarray(zmins, dtype=np.float64)
         zmaxs = np.asarray(zmaxs, dtype=np.float64)
         streams = np.asarray(streams)
+        starts = np.asarray(starts)
 
         # host assembly: per-tile Lerc2 blobs (header + mask + ranges + payload)
         blobs = []
+        stream_offs = []
         for t in range(t_total):
-            blobs.append(self._wrap_tile(
+            blob, soff = self._wrap_tile(
                 streams[t], int(totals[t]), zmins[t], zmaxs[t],
                 masks[t], mze,
-            ))
-        index = struct.pack("<14s4i", MOSAIC_MAGIC, ty, tx, h, w)
+            )
+            blobs.append(blob)
+            stream_offs.append(soff)
+        index = struct.pack("<14s4i", MOSAIC_MAGIC2, ty, tx, h, w)
         index += struct.pack("<2i", self.tile_h, self.tile_w)
         index += struct.pack(f"<{t_total}q", *np.cumsum([0] + [len(b) for b in blobs[:-1]]).tolist())
         index += struct.pack("<2d", float(np.asarray(gmin).min()), float(np.asarray(gmax).max()))
+        # record-offset acceleration index (decode-side scan skip): per tile
+        # the byte offset of the tile stream within its blob (-1: no stream,
+        # const/empty tile) and the record start offsets
+        n_rec = starts.shape[1] if starts.ndim == 2 else 0
+        index += struct.pack("<2i", n_rec, 0)
+        index += np.asarray(stream_offs, np.int32).tobytes()
+        index += starts[:t_total].astype(np.int32).tobytes()
         return index + b"".join(blobs)
 
-    def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze) -> bytes:
+    def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze):
+        """-> (blob bytes, stream byte offset within the blob or -1)."""
         num_valid = int(tile_mask.sum())
         head = hdr.HeaderInfo(
             version=self.version, n_rows=self.tile_h, n_cols=self.tile_w, n_depth=self.d,
@@ -181,6 +197,7 @@ class MosaicEncoder:
             mask_section = struct.pack("<i", 0)
         body = b""
         ranges = b""
+        stream_off = -1
         np_dt = DT_TO_NUMPY[self.dt]
         if num_valid > 0:
             head.z_min = float(zmin_vec.min())
@@ -188,9 +205,12 @@ class MosaicEncoder:
             if head.z_min != head.z_max:
                 if self.version >= 4:
                     ranges = zmin_vec.astype(np_dt).tobytes() + zmax_vec.astype(np_dt).tobytes()
-                body = b"\x00" + (
+                flags = b"\x00" + (
                     b"\x00" if head.try_huffman_int() or head.try_huffman_flt() else b""
-                ) + stream[:total].tobytes()
+                )
+                stream_off = (hdr.header_size(self.version) + len(mask_section)
+                              + len(ranges) + len(flags))
+                body = flags + stream[:total].tobytes()
         head.blob_size = hdr.header_size(self.version) + len(mask_section) + len(ranges) + len(body)
         blob = bytearray(hdr.write_header(head))
         blob += mask_section
@@ -199,13 +219,14 @@ class MosaicEncoder:
         if self.version >= 3:
             skip = hdr.checksum_skip(self.version)
             struct.pack_into("<I", blob, skip - 4, fletcher32.fletcher32(bytes(blob[skip:])))
-        return bytes(blob)
+        return bytes(blob), stream_off
 
 
 def read_mosaic(buf: bytes):
-    """Parse a mosaic container -> (grid info, list of per-tile blob views)."""
+    """Parse a mosaic container -> (grid info, list of per-tile blob views).
+    Handles v1 (no index) and v2 (record-offset acceleration index)."""
     magic, ty, tx, h, w = struct.unpack_from("<14s4i", buf, 0)
-    if magic != MOSAIC_MAGIC:
+    if magic not in (MOSAIC_MAGIC, MOSAIC_MAGIC2):
         raise ValueError("not a lerc_tpu mosaic")
     pos = 14 + 16
     tile_h, tile_w = struct.unpack_from("<2i", buf, pos)
@@ -215,14 +236,105 @@ def read_mosaic(buf: bytes):
     pos += 8 * t_total
     gmin, gmax = struct.unpack_from("<2d", buf, pos)
     pos += 16
+    info = {"grid": (ty, tx), "shape": (h, w), "tile": (tile_h, tile_w),
+            "z_min": gmin, "z_max": gmax, "stream_offs": None, "starts": None}
+    if magic == MOSAIC_MAGIC2:
+        n_rec, _rsv = struct.unpack_from("<2i", buf, pos)
+        pos += 8
+        info["stream_offs"] = np.frombuffer(buf, np.int32, t_total, pos).copy()
+        pos += 4 * t_total
+        info["starts"] = np.frombuffer(
+            buf, np.int32, t_total * n_rec, pos
+        ).reshape(t_total, n_rec).copy()
+        pos += 4 * t_total * n_rec
     base = pos
     views = []
     for t in range(t_total):
         start = base + offsets[t]
         end = base + offsets[t + 1] if t + 1 < t_total else len(buf)
         views.append(memoryview(buf)[start:end])
-    return {"grid": (ty, tx), "shape": (h, w), "tile": (tile_h, tile_w),
-            "z_min": gmin, "z_max": gmax}, views
+    return info, views
+
+
+def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
+    """TPU-parallel mosaic decode: per-tile streams batched into one
+    scan-free decode (record offsets from the container's acceleration
+    index), sharded over the mesh when given. Tiles without an index entry
+    (masked, const, or v1 containers) fall back to the host decoder."""
+    from ..codec import header as hdr_mod
+    from ..codec.orchestrator import decode_blob
+    from ..constants import dt_is_int
+
+    info, views = read_mosaic(buf)
+    ty, tx = info["grid"]
+    h, w = info["shape"]
+    tile_h, tile_w = info["tile"]
+    starts_all = info["starts"]
+    stream_offs = info["stream_offs"]
+    if starts_all is None:
+        return decode_mosaic(buf)
+
+    # parse tile headers on host; collect device-eligible tiles
+    heads = []
+    for t, view in enumerate(views):
+        hd, _ = hdr_mod.read_header(view)
+        heads.append(hd)
+    dev_ok = [
+        t for t, hd in enumerate(heads)
+        if stream_offs[t] >= 0 and hd.num_valid_pixel == tile_h * tile_w
+        and tile_h % 8 == 0 and tile_w % 8 == 0
+    ]
+    out = None
+    d = heads[0].n_depth
+    np_dt = DT_TO_NUMPY[heads[0].dt]
+    out = np.zeros((h, w, d), dtype=np_dt)
+
+    if dev_ok:
+        cap = max(
+            -(-(len(views[t]) - int(stream_offs[t])) // 512) * 512 for t in dev_ok
+        )
+        batch = np.zeros((len(dev_ok), cap), np.uint8)
+        zmaxs = np.zeros((len(dev_ok), d), np.float64)
+        for i, t in enumerate(dev_ok):
+            s = np.frombuffer(views[t][int(stream_offs[t]):], np.uint8)
+            batch[i, : s.size] = s
+            from ..codec.lerc2_decode import read_band_ranges
+
+            _hd2, (_zmn, zmx) = read_band_ranges(views[t])
+            zmaxs[i] = zmx
+        hd0 = heads[dev_ok[0]]
+        if dt_is_int(hd0.dt):
+            zmax_arg = jnp.asarray(np.round(zmaxs).astype(np.int32))
+        else:
+            zmax_arg = jnp.asarray(zmaxs.astype(np.float32))
+        dec = jax.vmap(
+            lambda s, st, zm: device_decode.decode_tiles_fast(
+                s, st, jnp.float32(hd0.max_z_error), zm,
+                tile_h, tile_w, d, hd0.dt, hd0.version,
+            )
+        )
+        imgs = np.asarray(dec(
+            jnp.asarray(batch), jnp.asarray(starts_all[dev_ok]), zmax_arg
+        ))
+        for i, t in enumerate(dev_ok):
+            ti, tj = divmod(t, tx)
+            hs = min(tile_h, h - ti * tile_h)
+            ws = min(tile_w, w - tj * tile_w)
+            out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
+                imgs[i, :hs, :ws]
+            )
+
+    for t in range(ty * tx):
+        if t in dev_ok:
+            continue
+        res = decode_blob(views[t])
+        ti, tj = divmod(t, tx)
+        hs = min(tile_h, h - ti * tile_h)
+        ws = min(tile_w, w - tj * tile_w)
+        out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
+            res.data[0, :hs, :ws]
+        )
+    return out
 
 
 def decode_mosaic(buf: bytes) -> np.ndarray:
