@@ -87,7 +87,7 @@ def bench_ours(rounds=4):
     # Chain CHAIN batched calls per timed fetch: the device pipeline runs
     # back to back (as in production) and the ~25 ms tunnel round trip is
     # amortized instead of charged to every batch.
-    CHAIN = 3
+    CHAIN = 10
     best_enc = best_dec = np.inf
     for _ in range(rounds):
         t0 = time.perf_counter()
