@@ -203,6 +203,33 @@ def replace_nan_v5(data: np.ndarray, mask: np.ndarray) -> bool:
     return True
 
 
+_ACCELERATION: bool | None = None  # None: auto (on when a device backend exists)
+_ACCEL_MIN_PIXELS = 1 << 18  # dispatch overhead beats host numpy below this
+
+
+def set_acceleration(enabled: bool | None) -> None:
+    """Route large band encodes through the TPU device encoder.
+
+    None (default) = auto: on when jax's default backend is not cpu.
+    The device encoder quantizes in f32 with a sign-directed fixup, so the
+    lossy error bound holds to maxZError within a float cast (the same
+    tolerance the reference's own ENCODE_VERIFY uses) instead of the host
+    path's exact f64; all outputs remain wire-exact LERC."""
+    global _ACCELERATION
+    _ACCELERATION = enabled
+
+
+def _accel_enabled() -> bool:
+    if _ACCELERATION is not None:
+        return _ACCELERATION
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def encode_blob(
     data: np.ndarray,
     masks: np.ndarray | None = None,
@@ -282,16 +309,40 @@ def encode_blob(
         if fr is not None and n_depth == 1 and fr.max_val >= fr.min_val:
             min_max = (fr.min_val, fr.max_val)
 
-        enc = BandEncoder(
-            band, mask, mze_l, version=eff_version, encode_mask=enc_msk,
-            n_blobs_more=(n_bands - 1 - i_band),
-            b_pass_no_data=(fr.need_no_data if fr is not None else False),
-            no_data_val=(fr.no_data_val if fr is not None else 0.0),
-            no_data_val_orig=nd_orig,
-            b_is_all_int=(fr.all_int if fr is not None else False),
-            min_max=min_max,
-        )
-        out += enc.encode()
+        # device-encoder routing: big clean bands on an accelerator backend
+        # (no noData header fields, no all-int float hints, no 777 cheat)
+        encoded = None
+        if (
+            _accel_enabled()
+            and eff_version == 6
+            and n_rows * n_cols >= _ACCEL_MIN_PIXELS
+            and (fr is None or not (fr.need_no_data or fr.all_int))
+            and mze_l != 777
+        ):
+            from . import device_codec
+
+            if device_codec.supports_encode(
+                NUMPY_TO_DT[band.dtype], mze_l, n_depth, all_valid=bool(mask.all())
+            ):
+                try:
+                    encoded = device_codec.encode_band_device(
+                        band, mask, mze_l, eff_version, enc_msk,
+                        n_blobs_more=(n_bands - 1 - i_band),
+                    )
+                except Exception:
+                    encoded = None  # fall back to the exact host encoder
+        if encoded is None:
+            enc = BandEncoder(
+                band, mask, mze_l, version=eff_version, encode_mask=enc_msk,
+                n_blobs_more=(n_bands - 1 - i_band),
+                b_pass_no_data=(fr.need_no_data if fr is not None else False),
+                no_data_val=(fr.no_data_val if fr is not None else 0.0),
+                no_data_val_orig=nd_orig,
+                b_is_all_int=(fr.all_int if fr is not None else False),
+                min_max=min_max,
+            )
+            encoded = enc.encode()
+        out += encoded
     if len(out) > 0xFFFFFFFF:
         raise LercEncodeError(ErrCode.DIMENSIONS_TOO_LARGE, "total blob exceeds 4 GB limit")
     blob = bytes(out)

@@ -124,3 +124,30 @@ def test_data_ranges_match_reference_no_decode():
     assert result == 0
     np.testing.assert_array_equal(mins.ravel(), np.asarray(ref_mins).ravel())
     np.testing.assert_array_equal(maxs.ravel(), np.asarray(ref_maxs).ravel())
+
+
+def test_accelerated_encode_routing():
+    """With acceleration forced on, big clean bands route to the device
+    encoder; the blob stays wire-exact (reference-decodable) and within
+    the ENCODE_VERIFY error tolerance."""
+    from lerc_tpu.codec import encode_orchestrator as eo
+    from . import oracle
+
+    rng = np.random.default_rng(13)
+    h, w = 520, 560  # >= the acceleration pixel threshold
+    data = (300 + 50 * np.sin(np.linspace(0, 8, h))[:, None]
+            * np.cos(np.linspace(0, 5, w))[None, :]
+            + rng.normal(0, 1, (h, w))).astype(np.float32)
+    eo.set_acceleration(True)
+    try:
+        r, n, blob = lerc.encode(data, 1, False, None, 0.01, data.nbytes * 2)
+        assert r == 0
+        r2, out, m = lerc.decode(bytes(blob[:n]))
+        assert r2 == 0
+        err = np.abs(np.asarray(out).reshape(h, w).astype(np.float64) - data).max()
+        assert err <= 0.01 * 1.1
+        if oracle.available():
+            ref = oracle.decode(bytes(blob[:n]))[0].reshape(h, w)
+            assert np.abs(ref.astype(np.float64) - data).max() <= 0.011
+    finally:
+        eo.set_acceleration(None)
