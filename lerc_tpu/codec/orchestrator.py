@@ -122,10 +122,30 @@ def decode_blob(blob: bytes | memoryview, verify_checksum: bool = True) -> Decod
     uses_no_data = np.zeros(n_bands, dtype=bool)
     no_data_values = np.zeros(n_bands, dtype=np.float64)
 
+    # device-decoder routing for big bands on an accelerator backend (the
+    # native scanner + XLA kernels; falls back per band on unsupported
+    # configurations -- Huffman/fpl/one-sweep/depth-diff payloads)
+    from .encode_orchestrator import _ACCEL_MIN_PIXELS, _accel_enabled
+
+    use_device = (
+        _accel_enabled() and info.n_rows * info.n_cols >= _ACCEL_MIN_PIXELS
+    )
+    if use_device:
+        from . import device_codec
+
     pos = 0
     prev_mask = None
     for i_band in range(n_bands):
-        band = lerc2_decode.decode_band(src[pos:], prev_mask, verify_checksum)
+        band = None
+        if use_device:
+            try:
+                band = device_codec.decode_band_device(
+                    src[pos:], prev_mask, verify_checksum
+                )
+            except Exception:
+                band = None
+        if band is None:
+            band = lerc2_decode.decode_band(src[pos:], prev_mask, verify_checksum)
         data[i_band] = band.data
         masks[i_band] = band.mask
         prev_mask = band.mask

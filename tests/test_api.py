@@ -151,3 +151,40 @@ def test_accelerated_encode_routing():
             assert np.abs(ref.astype(np.float64) - data).max() <= 0.011
     finally:
         eo.set_acceleration(None)
+
+
+def test_accelerated_decode_routing():
+    """With acceleration forced on, big-band decodes route through the
+    device decoder and agree with the host decoder within 1 f32 ulp of the
+    dequantized value (lossless paths bit-exact)."""
+    from lerc_tpu.codec import encode_orchestrator as eo
+
+    rng = np.random.default_rng(17)
+    h, w = 520, 560
+    data = (300 + 50 * np.sin(np.linspace(0, 8, h))[:, None]
+            * np.cos(np.linspace(0, 5, w))[None, :]
+            + rng.normal(0, 1, (h, w))).astype(np.float32)
+    r, n, blob = lerc.encode(data, 1, False, None, 0.02, data.nbytes * 2)
+    assert r == 0
+    blob = bytes(blob[:n])
+    r2, host_out, _ = lerc.decode(blob)
+    eo.set_acceleration(True)
+    try:
+        r3, dev_out, _ = lerc.decode(blob)
+    finally:
+        eo.set_acceleration(None)
+    assert r2 == 0 and r3 == 0
+    np.testing.assert_allclose(
+        np.asarray(dev_out).astype(np.float64),
+        np.asarray(host_out).astype(np.float64), atol=1e-4,
+    )
+    # int lossless must be bit-exact through either path
+    idata = rng.integers(0, 30000, (h, w)).astype(np.int16)
+    r, n, blob = lerc.encode(idata, 1, False, None, 0, idata.nbytes * 2 + 65536)
+    blob = bytes(blob[:n])
+    eo.set_acceleration(True)
+    try:
+        r4, dev_i, _ = lerc.decode(blob)
+    finally:
+        eo.set_acceleration(None)
+    np.testing.assert_array_equal(np.asarray(dev_i).reshape(h, w), idata)
