@@ -1,0 +1,97 @@
+"""Device-encoder fuzz matrix: every blob the device encoder can produce
+must decode bit-exactly (lossless) or within maxZError*1.1 (lossy, the
+reference's own ENCODE_VERIFY tolerance) through BOTH our host decoder and
+the reference C++ library. The Fletcher32 checksum plus per-block
+integrity bits make reference acceptance a strong wire check."""
+import numpy as np
+import pytest
+
+from lerc_tpu.codec.device_codec import encode_band_device, supports_encode
+from lerc_tpu.codec.orchestrator import decode_blob
+from lerc_tpu.constants import NUMPY_TO_DT
+
+from . import oracle
+
+RNG = np.random.default_rng(1234)
+
+DTYPES = [np.int8, np.uint8, np.int16, np.uint16, np.int32, np.uint32, np.float32]
+
+
+def _data(dtype, h, w, d, style):
+    if style == "smooth":
+        x = np.linspace(0, 6, w)[None, :, None]
+        y = np.linspace(0, 4, h)[:, None, None]
+        z = 120 * np.sin(x) * np.cos(y) + 130 + RNG.normal(0, 0.5, (h, w, d))
+    elif style == "noise":
+        z = RNG.normal(100, 60, (h, w, d))
+    elif style == "segmented":
+        classes = np.array([3, 40, 90, 200, 250])
+        patch = RNG.integers(0, 5, (h // 10 + 1, w // 10 + 1))
+        z = classes[np.repeat(np.repeat(patch, 10, 0), 10, 1)][:h, :w, None]
+        z = np.broadcast_to(z, (h, w, d)).copy()
+    else:  # const
+        z = np.full((h, w, d), 42.0)
+    if np.dtype(dtype).kind in "iu":
+        info = np.iinfo(dtype)
+        return np.clip(np.round(z), info.min, min(info.max, 250)).astype(dtype)
+    return z.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("style", ["smooth", "noise", "segmented", "const"])
+@pytest.mark.parametrize("mze,masked", [(0.0, False), (0.01, False), (1.0, True)])
+def test_device_encoder_fuzz(dtype, style, mze, masked):
+    h, w, d = 72, 56, 1
+    dt = NUMPY_TO_DT[np.dtype(dtype)]
+    mask = None
+    if masked:
+        mask = RNG.random((h, w)) > 0.3
+    all_valid = mask is None
+    if not supports_encode(dt, mze, d, all_valid=all_valid):
+        pytest.skip("config routes to host encoder")
+    data = _data(dtype, h, w, d, style)
+    blob = encode_band_device(data, mask, mze)
+
+    eff_mze = mze
+    if np.dtype(dtype).kind in "iu":
+        eff_mze = max(0.5, np.floor(mze))
+        lossless = eff_mze == 0.5
+    else:
+        lossless = mze == 0.0
+    limit = 0 if lossless else eff_mze * 1.1
+
+    res = decode_blob(blob)
+    m = mask if mask is not None else np.ones((h, w), bool)
+    np.testing.assert_array_equal(res.masks[0], m)
+    err = np.abs(res.data[0, :, :, 0].astype(np.float64)
+                 - data[:, :, 0].astype(np.float64))[m].max() if m.any() else 0
+    assert err <= limit, (err, limit)
+
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref[m], res.data[0, :, :, 0][m])
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (8, 16), (48, 8), (71, 73), (9, 257)])
+def test_device_encoder_odd_shapes(dims):
+    h, w = dims
+    data = _data(np.float32, h, w, 1, "smooth")
+    blob = encode_band_device(data, None, 0.005)
+    res = decode_blob(blob)
+    err = np.abs(res.data[0, :, :, 0].astype(np.float64) - data[:, :, 0]).max()
+    assert err <= 0.005 * 1.1
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
+
+
+@pytest.mark.parametrize("d", [2, 5])
+def test_device_encoder_depth(d):
+    data = _data(np.float32, 40, 48, d, "smooth")
+    blob = encode_band_device(data, None, 0.01)
+    res = decode_blob(blob)
+    err = np.abs(res.data[0].astype(np.float64) - data.astype(np.float64)).max()
+    assert err <= 0.011
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(40, 48, d)
+        np.testing.assert_array_equal(ref, res.data[0])
