@@ -24,92 +24,6 @@ MB = 8
 BS = MB * MB
 
 
-def _read_u32_at(u32v, p):
-    """Unaligned LE u32 read at byte offset p from a [S/4] u32 word view."""
-    w0 = u32v[jnp.clip(p >> 2, 0, u32v.shape[0] - 1)]
-    w1 = u32v[jnp.clip((p >> 2) + 1, 0, u32v.shape[0] - 1)]
-    sh = ((p & 3) * 8).astype(jnp.uint32)
-    return jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
-
-
-@functools.partial(jax.jit, static_argnames=("dt", "version"))
-def index_records_device(stream, starts, dt: DataType, version: int):
-    """Derive per-record descriptors from the record-offset acceleration
-    index (starts [nRec] i32) -- the scan-free decode path for blobs we
-    encoded ourselves. Wire format untouched; `starts` is recomputable via
-    scan_records_device or the native host scanner.
-
-    Returns (mode, offset, num_bits, num_elements, payload_pos), matching
-    the scan_records_device record-descriptor outputs (no LUT fields: our
-    encoder never emits LUT blocks)."""
-    is_int = dt < DataType.FLOAT
-    u = stream.astype(jnp.uint32)
-    smax = stream.shape[0] - 1
-
-    flag = u[jnp.clip(starts, 0, smax)]
-    code = (flag & 3).astype(jnp.int32)
-    bits67 = (flag >> 6).astype(jnp.int32)
-
-    if not is_int:
-        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
-    elif dt in (DataType.CHAR, DataType.BYTE):
-        off_w = jnp.ones_like(bits67)
-    elif dt in (DataType.SHORT, DataType.USHORT):
-        off_w = jnp.where(bits67 > 0, 1, 2)
-    elif dt == DataType.INT:
-        off_w = jnp.where(bits67 == 3, 1, jnp.where(bits67 > 0, 2, 4))
-    else:  # UINT
-        off_w = jnp.where(bits67 == 2, 1, jnp.where(bits67 == 1, 2, 4))
-
-    # offset word (zMin) in the reduced dtype, masked to off_w bytes
-    u32v = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
-    raw_off = _read_u32_at(u32v, starts + 1)
-    acc = jnp.where(
-        off_w == 1, raw_off & 0xFF,
-        jnp.where(off_w == 2, raw_off & 0xFFFF, raw_off),
-    )
-    n_rec = starts.shape[0]
-    if not is_int:
-        off_f32 = jax.lax.bitcast_convert_type(acc, jnp.float32)
-        i16 = ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16
-        offset = jnp.where(
-            bits67 == 2, (acc & 0xFF).astype(jnp.float32),
-            jnp.where(bits67 == 1, i16.astype(jnp.float32), off_f32),
-        )
-    else:
-        if dt == DataType.SHORT:
-            signed8 = bits67 == 2
-        elif dt == DataType.CHAR:
-            signed8 = jnp.ones(n_rec, bool)
-        else:
-            signed8 = jnp.zeros(n_rec, bool)
-        s8 = jnp.where(signed8, ((acc & 0xFF) << 24).astype(jnp.int32) >> 24,
-                       (acc & 0xFF).astype(jnp.int32))
-        if dt == DataType.INT:
-            signed16 = bits67 == 2
-        elif dt == DataType.SHORT:
-            signed16 = bits67 == 0
-        else:
-            signed16 = jnp.zeros(n_rec, bool)
-        s16 = jnp.where(signed16, ((acc & 0xFFFF) << 16).astype(jnp.int32) >> 16,
-                        (acc & 0xFFFF).astype(jnp.int32))
-        offset = jnp.where(off_w == 1, s8, jnp.where(off_w == 2, s16, acc.astype(jnp.int32)))
-
-    nbb_pos = starts + 1 + off_w
-    nbb = u[jnp.clip(nbb_pos, 0, smax)]
-    cw_code = (nbb >> 6).astype(jnp.int32)
-    cw = jnp.where(cw_code == 0, 4, 3 - cw_code)
-    nb = (nbb & 31).astype(jnp.int32)
-    ne_raw = _read_u32_at(u32v, nbb_pos + 1)
-    ne = jnp.where(
-        cw == 1, ne_raw & 0xFF,
-        jnp.where(cw == 2, ne_raw & 0xFFFF,
-                  jnp.where(cw == 3, ne_raw & 0xFFFFFF, ne_raw)),
-    ).astype(jnp.int32)
-    payload_pos = jnp.where(code == 0, starts + 1, nbb_pos + 1 + cw)
-    return code, offset, nb, ne, payload_pos
-
-
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "d", "dt", "version")
 )
