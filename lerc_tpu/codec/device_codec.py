@@ -45,6 +45,7 @@ def encode_band_device(
     version: int = 6,
     encode_mask: bool = True,
     n_blobs_more: int = 0,
+    verify: bool = False,
 ) -> bytes:
     np_dtype = np.dtype(data.dtype)
     dt = NUMPY_TO_DT[np_dtype]
@@ -154,7 +155,29 @@ def encode_band_device(
         if try_huffman:
             body += bytes([int(image_mode)])
         body += payload
-    return assemble(ranges, body)
+    blob = assemble(ranges, body)
+    if verify:
+        _verify_device_encode(blob, np.asarray(data), mask_np, mze, dt)
+    return blob
+
+
+def _verify_device_encode(blob, data, mask_np, mze, dt):
+    """ENCODE_VERIFY semantics for the device path (reference
+    Lerc.cpp:1081-1211): decode the fresh blob and compare to the input at
+    valid pixels with maxZError * 1.1 tolerance; masks must round trip."""
+    from .orchestrator import decode_blob
+
+    res = decode_blob(blob)
+    if not np.array_equal(res.masks[0], mask_np):
+        raise ValueError("ENCODE_VERIFY: mask mismatch")
+    got = res.data[0].astype(np.float64)
+    want = data.astype(np.float64)
+    lossless = mze == 0 or (dt_is_int(dt) and mze == 0.5)
+    if mask_np.any():
+        err = np.abs(got - want)[mask_np].max()
+        limit = 0 if lossless else mze * 1.1
+        if err > limit:
+            raise ValueError(f"ENCODE_VERIFY: error {err} exceeds {limit}")
 
 
 def _encode_fpl_device(data_dev, h, w, d):

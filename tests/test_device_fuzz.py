@@ -95,3 +95,38 @@ def test_device_encoder_depth(d):
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(40, 48, d)
         np.testing.assert_array_equal(ref, res.data[0])
+
+
+def test_device_encode_verify_flag():
+    data = _data(np.float32, 48, 56, 1, "smooth")
+    blob = encode_band_device(data, None, 0.01, verify=True)
+    assert len(blob) > 0
+
+
+@pytest.mark.parametrize("kind", ["truncate", "flip_payload", "flip_header",
+                                  "short_header", "empty"])
+def test_device_decode_hardened_against_corruption(kind):
+    """decode_band_device / decode_blob must reject corrupt blobs with
+    ValueError (or route to host which rejects) -- never crash or return
+    silently wrong pixels (checksum + bounds checks, like the reference's
+    hardened decoder, Lerc_c_api.h:77-87)."""
+    from lerc_tpu.codec.device_codec import decode_band_device
+
+    data = _data(np.float32, 64, 64, 1, "smooth")
+    blob = bytearray(encode_band_device(data, None, 0.01))
+    if kind == "truncate":
+        bad = bytes(blob[: len(blob) // 2])
+    elif kind == "flip_payload":
+        blob[-20] ^= 0xFF
+        bad = bytes(blob)
+    elif kind == "flip_header":
+        blob[30] ^= 0x55
+        bad = bytes(blob)
+    elif kind == "short_header":
+        bad = bytes(blob[:40])
+    else:
+        bad = b""
+    with pytest.raises(ValueError):
+        out = decode_band_device(bad)
+        if out is None:  # device routing declined: host must reject too
+            decode_blob(bad)
