@@ -111,7 +111,7 @@ def bench_ours(rounds=4):
     return best_enc, best_dec, blob_bytes
 
 
-def bench_reference(rounds=2):
+def bench_reference(rounds=4):
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
         import oracle

@@ -60,3 +60,36 @@ def test_golden_reencode_roundtrip(name):
     res2 = decode_blob(our_blob)
     assert np.array_equal(res2.data, res.data)
     assert np.array_equal(res2.masks, res.masks)
+
+
+def test_golden_blobs_reencode_device():
+    """Decode the shipped golden blobs and re-encode through the DEVICE
+    encoder; the reference library must accept the new blob and decode it
+    bit-exactly (lossless)."""
+    import numpy as np
+
+    from lerc_tpu.codec.device_codec import encode_band_device
+    from lerc_tpu.codec.orchestrator import decode_blob
+    from . import oracle
+
+    if not oracle.available():
+        import pytest
+
+        pytest.skip("reference lib not built")
+
+    # bluemarble: 3-band uint8 -> device whole-image Huffman per band
+    blob = open(os.path.join(TESTDATA, "bluemarble_256_256_3_byte.lerc2"), "rb").read()
+    res = decode_blob(blob)
+    for band in range(res.data.shape[0]):
+        b2 = encode_band_device(res.data[band], None, 0)
+        ref = oracle.decode(b2)[0].reshape(256, 256)
+        np.testing.assert_array_equal(ref, res.data[band, :, :, 0])
+
+    # california: float32 -> device fpl lossless re-encode of the decoded DEM
+    blob = open(os.path.join(TESTDATA, "california_400_400_1_float.lerc2"), "rb").read()
+    res = decode_blob(blob)
+    data = res.data[0].copy()
+    data[~res.masks[0]] = 0  # device encoder is all-valid; mask region zeroed
+    b2 = encode_band_device(np.ascontiguousarray(data), None, 0.0)
+    ref = oracle.decode(b2)[0].reshape(400, 400)
+    np.testing.assert_array_equal(ref, data[:, :, 0])
