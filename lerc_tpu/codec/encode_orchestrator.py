@@ -9,7 +9,7 @@ import dataclasses
 
 import numpy as np
 
-from ..constants import DataType, NUMPY_TO_DT, ErrCode
+from ..constants import NUMPY_TO_DT, ErrCode
 from .lerc2_encode import BandEncoder
 
 

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DataType
-from .pack_tables import MAX_BITS
 
 MB = 8
 BS = MB * MB
