@@ -2,10 +2,10 @@
 native scanner for the serial record chain, host assembly for the tiny
 header/mask/ranges sections.
 
-Encode differences vs the host BandEncoder (all produce valid wire format,
-documented in ops/device_encode.py): no LUT blocks, no 16x16 retrial, no
-maxZError auto-raise, no whole-image Huffman (8-bit) / fpl (float lossless)
-candidates -- callers route those cases to the host encoder.
+Encode coverage: tiling with LUT blocks, the 16x16 micro-block retrial,
+8-bit whole-image Huffman and float32 lossless fpl all run on device;
+remaining host-only pieces (documented in ops/device_encode.py): float64,
+masked 8-bit Huffman, maxZError auto-raise, bit-plane cut.
 """
 from __future__ import annotations
 
@@ -127,6 +127,8 @@ def encode_band_device(
 
     payload = np.asarray(stream)[:total].tobytes()  # fixed-shape transfer, host slice
     n_bytes_data = total
+    n_bytes_tiling = total
+    n_bytes_huffman = 0
     image_mode = ImageEncodeMode.TILING
     try_huffman = head.try_huffman_int() or head.try_huffman_flt()
 
@@ -134,10 +136,12 @@ def encode_band_device(
     # histogram + symbol packing, host tree build (256 symbols)
     if head.try_huffman_int() and all_valid:
         hm = _encode_huffman_device(data_dev, h, w, d, dt, version)
-        if hm is not None and len(hm[1]) < n_bytes_data:
-            image_mode, hbytes = hm
-            payload = hbytes
-            n_bytes_data = len(hbytes)
+        if hm is not None:
+            n_bytes_huffman = len(hm[1])
+            if n_bytes_huffman < n_bytes_data:
+                image_mode, hbytes = hm
+                payload = hbytes
+                n_bytes_data = n_bytes_huffman
     elif head.try_huffman_flt() and dt == DataType.FLOAT:
         # fpl lossless float (v6): accepted only when >= 10% smaller than
         # tiling (Lerc2.cpp:322)
@@ -147,7 +151,26 @@ def encode_band_device(
             payload = fbytes
             n_bytes_data = len(fbytes)
 
+    # 16x16 micro-block retrial at low bit rates (Lerc2.cpp:333-357): half
+    # the per-block header overhead when blocks compress below ~1.5 bpp
     n_one_sweep = DT_SIZE[dt] * d * num_valid
+    if (
+        n_bytes_tiling * 8 < h * w * d * 1.5
+        and n_bytes_tiling < 4 * n_one_sweep
+        and (n_bytes_huffman == 0 or n_bytes_tiling < 2 * n_bytes_huffman)
+        and (h > 8 or w > 8)
+    ):
+        s16, t16, _zm, _zx, _st16 = device_encode.encode_tiles(
+            data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid,
+            version, cap, enable_lut=True, mb=16,
+        )
+        t16 = int(t16)
+        if t16 <= n_bytes_data:
+            head.micro_block_size = 16
+            image_mode = ImageEncodeMode.TILING
+            payload = np.asarray(s16)[:t16].tobytes()
+            n_bytes_data = t16
+
     if n_one_sweep <= n_bytes_data + (1 if try_huffman else 0):
         body = b"\x01" + np.asarray(data)[mask_np].astype(np_dt).tobytes()
     else:

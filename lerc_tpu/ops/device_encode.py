@@ -26,7 +26,8 @@ Differences from the host encoder (both produce valid wire format):
     reconstruction instead of exact f64 (TPU has no fast f64); the error
     bound still holds to within a float cast, like the reference's own
     ENCODE_VERIFY tolerance (Lerc.cpp:1081-1211 uses maxZErr * 1.1)
-  - micro block is always 8x8 (no 16x16 retrial)
+  - quantization differences aside, tiling features are complete: LUT
+    blocks and the 16x16 micro-block retrial (mb static arg) are supported
 
 The host wrapper (lerc_tpu.codec.device_codec) adds header/mask/ranges and
 the Fletcher32 checksum. `encode_tiles` also returns the per-record start
@@ -56,11 +57,11 @@ def _bit_len(x):
     return n
 
 
-def _blockize(img, h, w):
-    """[H, W] -> [nB, 64] padded; returns (blocks, nbv, nbh)."""
-    nbv, nbh = -(-h // MB), -(-w // MB)
-    padded = jnp.zeros((nbv * MB, nbh * MB), img.dtype).at[:h, :w].set(img)
-    blocks = padded.reshape(nbv, MB, nbh, MB).transpose(0, 2, 1, 3).reshape(nbv * nbh, BS)
+def _blockize(img, h, w, mb: int = MB):
+    """[H, W] -> [nB, mb*mb] padded; returns (blocks, nbv, nbh)."""
+    nbv, nbh = -(-h // mb), -(-w // mb)
+    padded = jnp.zeros((nbv * mb, nbh * mb), img.dtype).at[:h, :w].set(img)
+    blocks = padded.reshape(nbv, mb, nbh, mb).transpose(0, 2, 1, 3).reshape(nbv * nbh, mb * mb)
     return blocks, nbv, nbh
 
 
@@ -131,7 +132,8 @@ def _pack_words(cq, nb, n_blocks, pw: int):
     the equivalent XLA scatter-add (TPU scatters run ~100 Melem/s). Byte
     lanes stay <= 255 and <= 3 contributions per word, so bf16 x bf16 ->
     f32 accumulation is exact."""
-    bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * nb[:, None]
+    bs = cq.shape[1]
+    bitpos = jnp.arange(bs, dtype=jnp.int32)[None, :] * nb[:, None]
     w_idx = bitpos >> 5
     sh = (bitpos & 31).astype(jnp.uint32)
     lo = cq << sh
@@ -208,15 +210,17 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
     nbits_lut = _bit_len(n_lut.astype(jnp.uint32))
 
     # index of each value: #distinct <= v, minus 1 iff 0 is in the set
+    bs = cq.shape[1]
     le = (srt[:, None, :] <= cq[:, :, None]) & occ[:, None, :]
     idx = le.sum(axis=2).astype(jnp.int32) - zero_present[:, None]
-    pos = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
+    pos = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
     idx = jnp.where(pos < cnt[:, None], jnp.maximum(idx, 0), 0).astype(jnp.uint32)
 
     rank_nz = jnp.cumsum(occ_nz, axis=1).astype(jnp.int32) - 1
-    lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, BS)
+    lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, bs)
     lutpk = _pack_words(lut_vals, nb, n_blocks, pw)
-    pw_idx = (BS * 6 + 31) // 32 + 1  # nbits_lut <= bitlen(63) == 6
+    # nbits_lut <= bitlen(n_lut) <= 8 for 16x16 blocks (n_lut < 255), 6 for 8x8
+    pw_idx = (bs * (8 if bs > 64 else 6) + 31) // 32 + 1
     idxpk = _pack_words(idx, nbits_lut, n_blocks, pw_idx)
 
     lut_bytes = (n_lut * nb + 7) // 8
@@ -227,7 +231,7 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
     lw = jnp.concatenate(
         [(lw[:, 0] | (n_lut + 1).astype(jnp.uint32))[:, None], lw[:, 1:]], axis=1
     )
-    width = 128
+    width = 128 if pw + 2 <= 128 else 256
     lwp = jnp.concatenate(
         [lw, jnp.zeros((n_blocks, width - lw.shape[1]), jnp.uint32)], axis=1
     )
@@ -241,7 +245,7 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
         [idx_sh, jnp.zeros((n_blocks, width - idx_sh.shape[1]), jnp.uint32)], axis=1
     )
     lane = (ib >> 2)[:, None]
-    for b in range(7):  # word-level roll to the lut-stream end
+    for b in range(width.bit_length() - 1):  # word-level roll to the lut end
         idxp = jnp.where((lane >> b) & 1 == 1, jnp.roll(idxp, 1 << b, axis=1), idxp)
     payload = lwp | idxp
     lut_len_payload = 1 + lut_bytes + idx_bytes
@@ -250,7 +254,8 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap", "enable_lut"),
+    static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap",
+                     "enable_lut", "mb"),
 )
 def encode_tiles(
     data,  # [H, W, D] float32 or int32
@@ -264,6 +269,7 @@ def encode_tiles(
     version: int,
     cap: int,
     enable_lut: bool = False,
+    mb: int = 8,
 ):
     """Returns (out_bytes [cap] u8, total_len, z_min_vec [D], z_max_vec [D],
     starts [nRec] i32) -- starts is the record-offset acceleration index."""
@@ -271,11 +277,12 @@ def encode_tiles(
     size_t = {DataType.CHAR: 1, DataType.BYTE: 1, DataType.SHORT: 2, DataType.USHORT: 2,
               DataType.INT: 4, DataType.UINT: 4, DataType.FLOAT: 4}[dt]
     maxq_cap = float((1 << 15) - 1 if size_t <= 2 else (1 << 30) - 1)
+    bs = mb * mb  # values per micro block (64, or 256 for the 16x16 retrial)
     # max numBits for this dtype bounds the packed-word count
     max_nb = {1: 8, 2: 16, 4: 31}[size_t]
-    pw = (BS * max_nb + 31) // 32 + 1  # +1 spill slack
-    raw_w = (1 + BS * size_t + 3) // 4  # raw record word count
-    rec_w = max(raw_w, (7 + 4 * (pw - 1) + 3) // 4, pw + 2) + 1
+    pw = (bs * max_nb + 31) // 32 + 1  # +1 spill slack
+    raw_w = (1 + bs * size_t + 3) // 4  # raw record word count
+    rec_w = max(raw_w, (8 + 4 * (pw - 1) + 3) // 4, pw + 3) + 1
     cap_w = cap // 4
     assert cap % 4 == 0
 
@@ -285,20 +292,21 @@ def encode_tiles(
     int_lossless = is_int & (mze == 0.5)
 
     vb, nbv, nbh = _blockize(
-        jnp.ones((h, w), bool) if all_valid else mask, h, w
+        jnp.ones((h, w), bool) if all_valid else mask, h, w, mb
     )
     n_blocks = nbv * nbh
-    cnt = vb.sum(axis=1).astype(jnp.int32)  # [nB], always <= 64 so cw == 1
+    cnt = vb.sum(axis=1).astype(jnp.int32)  # [nB] <= bs
+    cw = jnp.where(cnt < 256, 1, 2)  # count byte width (2 only for full 16x16)
 
     # compaction permutation: valid positions first, stable. Even in the
     # all-valid case edge blocks need compaction (padding positions are
     # interleaved row-major when H or W is not a multiple of 8).
-    aligned_all_valid = all_valid and h % MB == 0 and w % MB == 0
+    aligned_all_valid = all_valid and h % mb == 0 and w % mb == 0
     if not aligned_all_valid:
         perm = jnp.argsort(~vb, axis=1, stable=True).astype(jnp.int32)
 
     # per-block j0 for the integrity bits
-    j0 = (jnp.arange(n_blocks, dtype=jnp.int32) % nbh) * MB
+    j0 = (jnp.arange(n_blocks, dtype=jnp.int32) % nbh) * mb
     integ = ((j0 >> 3) & 15) << 2
     if version >= 5:
         integ = integ & 0b111000
@@ -308,7 +316,7 @@ def encode_tiles(
     z_max_out = []
 
     for di in range(d):
-        xb, _, _ = _blockize(data[:, :, di], h, w)  # native dtype blocks
+        xb, _, _ = _blockize(data[:, :, di], h, w, mb)  # native dtype blocks
         fb = xb.astype(jnp.float32)
         big = jnp.where(vb, fb, jnp.inf)
         small = jnp.where(vb, fb, -jnp.inf)
@@ -358,7 +366,7 @@ def encode_tiles(
             cx = xb
         else:
             cq = jnp.take_along_axis(q, perm, axis=1)
-            pos = jnp.broadcast_to(jnp.arange(BS, dtype=jnp.int32), (n_blocks, BS))
+            pos = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
             cq = jnp.where(pos < cnt[:, None], cq, 0)  # zero the tail
             cx = jnp.take_along_axis(xb, perm, axis=1)
             cx = jnp.where(pos < cnt[:, None], cx, 0)
@@ -379,7 +387,7 @@ def encode_tiles(
             off_word = _offset_word_float(zmin, tc)
 
         stuff_bytes = (cnt * nb + 7) // 8
-        stuff_len = 1 + off_w + jnp.where(max_q > 0, 2 + stuff_bytes, 0)
+        stuff_len = 1 + off_w + jnp.where(max_q > 0, 1 + cw + stuff_bytes, 0)
         raw_len = 1 + cnt * size_t
 
         # ---- packed payload words [nB, pw]
@@ -389,8 +397,9 @@ def encode_tiles(
             n_lut, lut_payload, lut_payload_len = _lut_candidate(
                 cq, cnt, nb, n_blocks, pw
             )
-            lut_len = 3 + off_w + lut_payload_len
-            use_lut = (max_q > 0) & (n_lut >= 1) & (lut_len < stuff_len)
+            lut_len = 2 + cw + off_w + lut_payload_len
+            use_lut = ((max_q > 0) & (n_lut >= 1) & (n_lut < 255)
+                       & (lut_len < stuff_len))
             stuff_len = jnp.where(use_lut, lut_len, stuff_len)
             pk = jnp.where(use_lut[:, None], lut_payload[:, :pw], pk)
         else:
@@ -414,42 +423,57 @@ def encode_tiles(
                 [pkp, jnp.zeros((n_blocks, rec_w + 2 - pkp.shape[1]), jnp.uint32)], axis=1
             )
 
-        # cnt always < 256 -> count-width code 2 (1 byte)
+        # count-width code: 3 - cw (cw=1 -> 2, cw=2 -> 1)
         nbb = (nb.astype(jnp.uint32) | (use_lut.astype(jnp.uint32) << 5)
-               | jnp.uint32(2 << 6))  # numBits byte (bit5 = LUT mode)
+               | ((3 - cw).astype(jnp.uint32) << 6))  # numBits byte
         cnt_u = cnt.astype(jnp.uint32)
+        c0 = cnt_u & 0xFF
+        c1 = (cnt_u >> 8) & 0xFF
 
         # ---- record words [nB, rec_w], gather-free composition.
-        # Three stuff layouts by off_w (payload byte offset 4 / 5 / 7):
-        #   off_w=1: [flag off0 nbb cnt | payload...]           pay at 4
-        #   off_w=2: [flag off0 off1 nbb | cnt payload...]      pay at 5
-        #   off_w=4: [flag off0..off2 | off3 nbb cnt payload..] pay at 7
+        # Stuff layouts by (off_w, cw); payload byte offset p = 2+off_w+cw:
+        #   (1,1) p=4: [flag off0 nbb c0 | payload...]
+        #   (1,2) p=5: [flag off0 nbb c0 | c1 payload...]
+        #   (2,1) p=5: [flag off0 off1 nbb | c0 payload...]
+        #   (2,2) p=6: [flag off0 off1 nbb | c0 c1 payload...]
+        #   (4,1) p=7: [flag off0..off2 | off3 nbb c0 payload...]
+        #   (4,2) p=8: [flag off0..off2 | off3 nbb c0 c1 | payload...]
         ob0 = off_word & 0xFF
         ob1 = (off_word >> 8) & 0xFF
         ob2 = (off_word >> 16) & 0xFF
         ob3 = (off_word >> 24) & 0xFF
+        pay_pos = 2 + off_w + cw
 
-        w0_1 = flag | (ob0 << 8) | (nbb << 16) | (cnt_u << 24)
-        w0_2 = flag | (ob0 << 8) | (ob1 << 16) | (nbb << 24)
-        w0_4 = flag | (ob0 << 8) | (ob1 << 16) | (ob2 << 24)
-        w1_1 = pkp[:, 2]                                   # pk[0] aligned at byte 4
-        w1_2 = cnt_u | (pkp[:, 2] << 8)
-        w1_4 = ob3 | (nbb << 8) | (cnt_u << 16) | ((pkp[:, 2] & 0xFF) << 24)
-
-        # words j >= 2 per layout (static byte shifts of the pk stream)
-        body_1 = pkp[:, 3 : 3 + rec_w - 2]                                  # pk[j-1]
-        body_2 = (pkp[:, 2 : 2 + rec_w - 2] >> 24) | (pkp[:, 3 : 3 + rec_w - 2] << 8)
-        body_4 = (pkp[:, 2 : 2 + rec_w - 2] >> 8) | (pkp[:, 3 : 3 + rec_w - 2] << 24)
-
-        ow = off_w[:, None]
-        stuff_words = jnp.concatenate(
-            [
-                jnp.where(off_w == 1, w0_1, jnp.where(off_w == 2, w0_2, w0_4))[:, None],
-                jnp.where(off_w == 1, w1_1, jnp.where(off_w == 2, w1_2, w1_4))[:, None],
-                jnp.where(ow == 1, body_1, jnp.where(ow == 2, body_2, body_4)),
-            ],
-            axis=1,
+        w0 = jnp.where(
+            off_w == 1, flag | (ob0 << 8) | (nbb << 16) | (c0 << 24),
+            jnp.where(off_w == 2, flag | (ob0 << 8) | (ob1 << 16) | (nbb << 24),
+                      flag | (ob0 << 8) | (ob1 << 16) | (ob2 << 24)),
         )
+        pk0 = pkp[:, 2]
+        w1_11 = pk0
+        w1_12 = c1 | (pk0 << 8)
+        w1_21 = c0 | (pk0 << 8)
+        w1_22 = c0 | (c1 << 8) | (pk0 << 16)
+        w1_41 = ob3 | (nbb << 8) | (c0 << 16) | ((pk0 & 0xFF) << 24)
+        w1_42 = ob3 | (nbb << 8) | (c0 << 16) | (c1 << 24)
+        w1 = jnp.where(
+            off_w == 1, jnp.where(cw == 1, w1_11, w1_12),
+            jnp.where(off_w == 2, jnp.where(cw == 1, w1_21, w1_22),
+                      jnp.where(cw == 1, w1_41, w1_42)),
+        )
+
+        # words j >= 2 by payload offset p (static byte shifts of pk; note
+        # pkp[:, j] == pk[j-2])
+        a = pkp[:, 2 : 2 + rec_w - 2]
+        b_ = pkp[:, 3 : 3 + rec_w - 2]
+        pp = pay_pos[:, None]
+        body = jnp.where(
+            pp == 4, b_,
+            jnp.where(pp == 5, (a >> 24) | (b_ << 8),
+                      jnp.where(pp == 6, (a >> 16) | (b_ << 16),
+                                jnp.where(pp == 7, (a >> 8) | (b_ << 24), a))),
+        )
+        stuff_words = jnp.concatenate([w0[:, None], w1[:, None], body], axis=1)
         # mode 3 (const-offset): flag + offset bytes only -- same head layout
         # with payload absent; the tail mask below truncates to 1 + off_w.
         # mode 2 (const-0): flag only; tail mask truncates to 1 byte.
@@ -525,19 +549,21 @@ def encode_tiles(
     for k in (1, 2, 3):
         shifted = jnp.where((sh == k)[:, None], _shift_words_1b(rec, k), shifted)
 
-    q = starts >> 2  # word offset; rec_w + 1 + 127 <= 256 keeps spans in 2 rows
-    assert rec_w + 1 + 127 <= 256
+    q = starts >> 2  # word offset; span must fit w_roll (rec_w+1+127 words)
+    w_roll = 256 if rec_w + 1 + 127 <= 256 else 512
+    assert rec_w + 1 + 127 <= w_roll
     lane = (q & 127)[:, None]
     rec256 = jnp.concatenate(
-        [shifted, jnp.zeros((n_rec, 256 - rec_w - 1), jnp.uint32)], axis=1
+        [shifted, jnp.zeros((n_rec, w_roll - rec_w - 1), jnp.uint32)], axis=1
     )
     for b in range(7):  # dynamic lane roll composed from static rolls
         rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
 
     n_row = cap_w // 128
-    rows_idx = (q >> 7)[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
+    n_span = w_roll // 128
+    rows_idx = (q >> 7)[:, None] + jnp.arange(n_span, dtype=jnp.int32)[None, :]
     out2 = jnp.zeros((n_row, 128), jnp.uint32)
-    out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, 2, 128), mode="drop")
+    out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, n_span, 128), mode="drop")
 
     stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
     return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts

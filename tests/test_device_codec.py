@@ -243,3 +243,52 @@ def test_device_lut_blocks():
         j0s = ((np.arange(n_blocks) % (w // 8)) * 8).astype(np.int32)
         recs, _ = native.tile_scan(stream, cnts, j0s, n_blocks, 1, int(hd.dt), hd.version)
         assert (recs["mode"] == 4).any(), "no LUT blocks emitted"
+
+
+def test_device_16x16_retrial():
+    """Low-bitrate data must trigger the 16x16 micro-block retrial
+    (Lerc2.cpp:333-357), halving per-block header overhead; the blob must
+    decode bit-exactly through host and reference decoders and match the
+    host encoder's size class."""
+    rng = np.random.default_rng(3)
+    h, w = 128, 192
+    # binary noise (1 bit/block payload) over 2/3, constant over 1/3:
+    # tiling lands under the 1.5 bpp gate and 16x16 halves block headers
+    base = np.full((h, w), 100.0)
+    base[:, : 2 * w // 3] += 0.6 * rng.integers(0, 2, (h, 2 * w // 3))
+    data = base.astype(np.float32)[:, :, None]
+    mze = 0.3
+
+    blob = encode_band_device(data, None, mze)
+    from lerc_tpu.codec import header as hdr_mod
+    hd, _ = hdr_mod.read_header(memoryview(blob))
+    assert hd.micro_block_size == 16, hd.micro_block_size
+
+    res = decode_blob(blob)
+    err = np.abs(res.data[0, :, :, 0].astype(np.float64) - base).max()
+    assert err <= mze * 1.1
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
+
+    host_blob = BandEncoder(data, None, mze).encode()
+    hd2, _ = hdr_mod.read_header(memoryview(host_blob))
+    assert hd2.micro_block_size == 16  # host picks 16 here too
+    assert len(blob) <= len(host_blob) * 1.15, (len(blob), len(host_blob))
+
+
+def test_device_16x16_with_mask_and_depth():
+    rng = np.random.default_rng(21)
+    h, w, d = 96, 112, 2
+    base = (np.arange(h)[:, None, None] // 24 * 8
+            + np.arange(w)[None, :, None] // 28 * 8).astype(np.float32)
+    data = np.broadcast_to(base, (h, w, d)).copy()
+    data[:, :, 1] += 3
+    mask = rng.random((h, w)) > 0.1
+    blob = encode_band_device(data, mask, 0.5)
+    res = decode_blob(blob)
+    err = np.abs(res.data[0].astype(np.float64) - data)[mask].max()
+    assert err <= 0.55
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w, d)
+        np.testing.assert_array_equal(ref[mask], res.data[0][mask])
