@@ -51,10 +51,6 @@ def encode_band_device(
     dt = NUMPY_TO_DT[np_dtype]
     h, w, d = data.shape
 
-    mze = float(max_z_error)
-    if dt_is_int(dt):
-        mze = max(0.5, np.floor(mze))
-
     all_valid = mask is None or bool(np.asarray(mask).all())
     if not supports_encode(dt, max_z_error, d, all_valid):
         raise ValueError("configuration not supported by the device encoder")
@@ -64,6 +60,28 @@ def encode_band_device(
     else:
         mask_np = np.asarray(mask, dtype=bool)
         num_valid = int(mask_np.sum())
+
+    # maxZError analyses (host numpy, exact f64; the encode itself is on
+    # device): bit-plane noise cut for negative mze / 777, float auto-raise
+    from . import lerc2_encode as l2e
+
+    mze = float(max_z_error)
+    if mze == 777:  # cheat code (Lerc2.cpp:210-218)
+        mze = -0.01
+    if dt_is_int(dt):
+        if mze < 0:
+            ok, new_mze = l2e.try_bit_plane_compression(
+                np.asarray(data), mask_np, dt, d, num_valid, -mze
+            )
+            mze = new_mze if ok else 0
+        mze = max(0.5, np.floor(mze))
+    else:
+        if mze < 0:
+            raise ValueError("negative maxZError not allowed for float types")
+        if mze > 0:
+            ok, new_mze = l2e.try_raise_max_z_error(np.asarray(data), mask_np, mze)
+            if ok:
+                mze = new_mze
 
     dev_dtype = jnp.int32 if dt_is_int(dt) else jnp.float32
     data_dev = jnp.asarray(np.asarray(data), dtype=dev_dtype) if not isinstance(data, jax.Array) else data.astype(dev_dtype)

@@ -543,56 +543,73 @@ class BandEncoder:
     # -- maxZError auto-raise for floats (Lerc2.cpp:1233-1339) --------------
 
     def _try_raise_max_z_error(self, mze: float) -> tuple[bool, float]:
-        z_err_cand = [1, 0.5, 0.1, 0.05, 0.01, 0.005, 0.001, 0.0005, 0.0001]
-        z_fac_cand = [1, 2, 10, 20, 100, 200, 1000, 2000, 10000]
-        cands = [(e / 2, f) for e, f in zip(z_err_cand, z_fac_cand) if e / 2 > mze]
-        if not cands:
-            return False, mze
-        vals = self.data[self.mask].astype(np.float64).reshape(-1)
-        for z_err, z_fac in cands:
-            z = vals * z_fac
-            round_err = float(np.abs(np.floor(z + 0.5) - z).max()) if z.size else 0.0
-            if round_err / z_fac <= mze / 2:
-                return True, z_err
-        return False, mze
+        return try_raise_max_z_error(self.data, self.mask, mze)
 
     # -- integer bit-plane noise cut (Lerc2.cpp:1071-1229) ------------------
 
     def _try_bit_plane_compression(self, eps: float) -> tuple[bool, float]:
-        hd = self.hd
-        if eps <= 0 or self.num_valid < 5000 or not dt_is_int(self.dt):
-            return False, 0.0
-        max_shift = 8 * DT_SIZE[self.dt]
-        data = self.data
-        mask = self.mask
-        # horizontal and vertical XOR of neighboring valid pixels, per depth
-        cnt_diff = np.zeros((self.n_depth, max_shift), dtype=np.int64)
-        cnt = 0
-        uview = data.astype(np.int64)  # sign-extend; xor on two's complement bits
-        for axis, sl_a, sl_b, mk in (
-            (1, np.s_[:, :-1, :], np.s_[:, 1:, :], mask[:, :-1] & mask[:, 1:]),
-            (0, np.s_[:-1, :, :], np.s_[1:, :, :], mask[:-1, :] & mask[1:, :]),
-        ):
-            x = (uview[sl_a] ^ uview[sl_b])[mk]  # [nPairs, nDepth]
-            cnt += x.shape[0]
-            for s in range(max_shift):
-                cnt_diff[:, s] += ((x >> s) & 1).sum(axis=0)
-        if cnt < 5000:
-            return False, 0.0
-        n_cut_found = 0
-        last_plane_kept = 0
-        for s in range(max_shift - 1, -1, -1):
-            b_crit = True
-            for d in range(self.n_depth):
-                m = cnt_diff[d, s] / cnt
-                if abs(1 - 2 * m) >= eps:
-                    b_crit = False
-            if b_crit and n_cut_found < 2:
-                if n_cut_found == 0:
-                    last_plane_kept = s
-                if n_cut_found == 1 and s < last_plane_kept - 1:
-                    last_plane_kept = s
-                    n_cut_found = 0
-                n_cut_found += 1
-        last_plane_kept = max(0, last_plane_kept)
-        return True, float((1 << last_plane_kept) >> 1)
+        return try_bit_plane_compression(
+            self.data, self.mask, self.dt, self.n_depth, self.num_valid, eps
+        )
+
+
+# ---------------------------------------------------------------------------
+# encoder-side maxZError analyses, shared with the device band encoder
+# ---------------------------------------------------------------------------
+
+def try_raise_max_z_error(data, mask, mze: float) -> tuple[bool, float]:
+    """Float maxZError auto-raise for pre-truncated data
+    (Lerc2.cpp:1233-1339): if all values round to a 1/zFac grid within
+    mze/2, the error bound can be raised to zErr/2 candidates."""
+    z_err_cand = [1, 0.5, 0.1, 0.05, 0.01, 0.005, 0.001, 0.0005, 0.0001]
+    z_fac_cand = [1, 2, 10, 20, 100, 200, 1000, 2000, 10000]
+    cands = [(e / 2, f) for e, f in zip(z_err_cand, z_fac_cand) if e / 2 > mze]
+    if not cands:
+        return False, mze
+    vals = data[mask].astype(np.float64).reshape(-1)
+    for z_err, z_fac in cands:
+        z = vals * z_fac
+        round_err = float(np.abs(np.floor(z + 0.5) - z).max()) if z.size else 0.0
+        if round_err / z_fac <= mze / 2:
+            return True, z_err
+    return False, mze
+
+
+def try_bit_plane_compression(data, mask, dt, n_depth, num_valid, eps: float) -> tuple[bool, float]:
+    """Integer bit-plane noise cut for negative maxZError
+    (Lerc2.cpp:1071-1229): XOR-of-neighbors statistics per bit plane
+    raise maxZError to drop random low planes."""
+    if eps <= 0 or num_valid < 5000 or not dt_is_int(dt):
+        return False, 0.0
+    max_shift = 8 * DT_SIZE[dt]
+    # horizontal and vertical XOR of neighboring valid pixels, per depth
+    cnt_diff = np.zeros((n_depth, max_shift), dtype=np.int64)
+    cnt = 0
+    uview = data.astype(np.int64)  # sign-extend; xor on two's complement bits
+    for axis, sl_a, sl_b, mk in (
+        (1, np.s_[:, :-1, :], np.s_[:, 1:, :], mask[:, :-1] & mask[:, 1:]),
+        (0, np.s_[:-1, :, :], np.s_[1:, :, :], mask[:-1, :] & mask[1:, :]),
+    ):
+        x = (uview[sl_a] ^ uview[sl_b])[mk]  # [nPairs, nDepth]
+        cnt += x.shape[0]
+        for s in range(max_shift):
+            cnt_diff[:, s] += ((x >> s) & 1).sum(axis=0)
+    if cnt < 5000:
+        return False, 0.0
+    n_cut_found = 0
+    last_plane_kept = 0
+    for s in range(max_shift - 1, -1, -1):
+        b_crit = True
+        for d in range(n_depth):
+            m = cnt_diff[d, s] / cnt
+            if abs(1 - 2 * m) >= eps:
+                b_crit = False
+        if b_crit and n_cut_found < 2:
+            if n_cut_found == 0:
+                last_plane_kept = s
+            if n_cut_found == 1 and s < last_plane_kept - 1:
+                last_plane_kept = s
+                n_cut_found = 0
+            n_cut_found += 1
+    last_plane_kept = max(0, last_plane_kept)
+    return True, float((1 << last_plane_kept) >> 1)

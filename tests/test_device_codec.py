@@ -292,3 +292,45 @@ def test_device_16x16_with_mask_and_depth():
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(h, w, d)
         np.testing.assert_array_equal(ref[mask], res.data[0][mask])
+
+
+def test_device_max_z_error_auto_raise():
+    """Pre-truncated float data (multiples of 0.1) must auto-raise the
+    encoder's maxZError (Lerc2.cpp:1233-1339) like the host/reference do,
+    while keeping the decoded values within the USER's bound."""
+    rng = np.random.default_rng(31)
+    h, w = 96, 104
+    data = (np.round(rng.normal(50, 20, (h, w)) * 10) / 10).astype(np.float32)[:, :, None]
+    blob = encode_band_device(data, None, 0.0004)
+    blob_host = BandEncoder(data, None, 0.0004).encode()
+    from lerc_tpu.codec import header as hdr_mod
+    hd, _ = hdr_mod.read_header(memoryview(blob))
+    hd2, _ = hdr_mod.read_header(memoryview(blob_host))
+    assert hd.max_z_error == hd2.max_z_error > 0.0004  # raised identically
+    res = decode_blob(blob)
+    err = np.abs(res.data[0, :, :, 0].astype(np.float64) - data[:, :, 0]).max()
+    assert err <= 0.05 * 1.1  # raised bound 0.05 (zErr 0.1 / 2)
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
+
+
+def test_device_bit_plane_cut():
+    """Negative maxZError / the 777 cheat code cut noisy low bit planes of
+    integer data (Lerc2.cpp:1071-1229), matching the host's choice."""
+    rng = np.random.default_rng(33)
+    h, w = 128, 128
+    signal = (np.arange(h)[:, None] * 16 + np.arange(w)[None, :] * 8)
+    data = (signal + rng.integers(0, 4, (h, w))).astype(np.int32)[:, :, None]
+    blob = encode_band_device(data, None, 777)
+    blob_host = BandEncoder(data, None, 777).encode()
+    from lerc_tpu.codec import header as hdr_mod
+    hd, _ = hdr_mod.read_header(memoryview(blob))
+    hd2, _ = hdr_mod.read_header(memoryview(blob_host))
+    assert hd.max_z_error == hd2.max_z_error >= 0.5
+    res = decode_blob(blob)
+    err = np.abs(res.data[0, :, :, 0].astype(np.float64) - data[:, :, 0]).max()
+    assert err <= 2 * hd.max_z_error
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
