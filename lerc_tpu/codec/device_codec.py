@@ -3,9 +3,9 @@ native scanner for the serial record chain, host assembly for the tiny
 header/mask/ranges sections.
 
 Encode coverage: tiling with LUT blocks, the 16x16 micro-block retrial,
-8-bit whole-image Huffman and float32 lossless fpl all run on device;
-remaining host-only pieces (documented in ops/device_encode.py): float64,
-masked 8-bit Huffman, maxZError auto-raise, bit-plane cut.
+8-bit whole-image Huffman (all-valid and masked) and float32 lossless fpl
+all run on device; the maxZError analyses (auto-raise, bit-plane cut) run
+host-side in exact f64. float64 routes to the exact host encoder.
 """
 from __future__ import annotations
 
@@ -31,11 +31,7 @@ def _round_cap(n: int) -> int:
 
 def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
                     all_valid: bool = True) -> bool:
-    if dt == DataType.DOUBLE:
-        return False
-    if dt in (DataType.BYTE, DataType.CHAR) and max_z_error <= 0.5 and not all_valid:
-        return False  # masked Huffman candidate -> host (ragged symbol stream)
-    return True
+    return dt != DataType.DOUBLE  # float64 needs the exact-f64 host path
 
 
 def encode_band_device(
@@ -152,8 +148,11 @@ def encode_band_device(
 
     # whole-image Huffman candidate (8-bit types, lossless): device
     # histogram + symbol packing, host tree build (256 symbols)
-    if head.try_huffman_int() and all_valid:
-        hm = _encode_huffman_device(data_dev, h, w, d, dt, version)
+    if head.try_huffman_int():
+        hm = _encode_huffman_device(
+            data_dev, h, w, d, dt, version,
+            None if all_valid else mask_dev, num_valid,
+        )
         if hm is not None:
             n_bytes_huffman = len(hm[1])
             if n_bytes_huffman < n_bytes_data:
@@ -303,13 +302,30 @@ def _encode_fpl_device(data_dev, h, w, d):
     return bytes(out)
 
 
-def _encode_huffman_device(data_dev, h, w, d, dt, version):
-    """Device Huffman encode (all-valid): returns (ImageEncodeMode, table +
-    MSB-first stream bytes) or None. Mirrors the host
-    BandEncoder._encode_huffman_int selection (Lerc2.cpp:2384-2468)."""
-    direct, delta = device_huffman.symbol_streams_device(data_dev, h, w, d, dt)
+def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
+                           num_valid=None):
+    """Device Huffman encode: returns (ImageEncodeMode, table + MSB-first
+    stream bytes) or None. Mirrors the host BandEncoder._encode_huffman_int
+    selection (Lerc2.cpp:2384-2468). With mask_dev, symbol streams are
+    compacted to valid pixels (gaps emit zero bits in the packer)."""
+    if mask_dev is None:
+        direct, delta = device_huffman.symbol_streams_device(data_dev, h, w, d, dt)
+        live_direct = live_delta = None
+        gaps = 0
+    else:
+        direct, delta, _nv = device_huffman.symbol_streams_masked_device(
+            data_dev, mask_dev, h, w, d, dt
+        )
+        n = h * w
+        gaps = (n - num_valid) * d
+        live_direct = jnp.asarray(np.arange(n * d) < num_valid * d)
+        live_delta = jnp.asarray((np.arange(d * n) % n) < num_valid)
     histo = np.asarray(device_huffman.histogram256(direct)).astype(np.int64)
     dhisto = np.asarray(device_huffman.histogram256(delta)).astype(np.int64)
+    if gaps:  # compacted gap positions hold symbol 0
+        histo[0] -= gaps
+        dhisto[0] -= gaps
+        assert histo[0] >= 0 and dhisto[0] >= 0
 
     def size_of(hst):
         lengths = huffman.compute_code_lengths(hst)
@@ -324,8 +340,10 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version):
         return None
     if nb0 is not None and (nb1 is None or nb0 <= nb1):
         mode, lengths, syms, hst = ImageEncodeMode.HUFFMAN, len0, direct, histo
+        live = live_direct
     else:
         mode, lengths, syms, hst = ImageEncodeMode.DELTA_HUFFMAN, len1, delta, dhisto
+        live = live_delta
     codes = huffman.canonical_codes(lengths)
     table = huffman.write_code_table(lengths, codes, version)
 
@@ -339,7 +357,7 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version):
     pwh = next(p for p in (18, 34, 66) if p >= (device_huffman.GROUP * max_len + 31) // 32 + 1)
     cap = 1 << max(12, (stream_bytes + 512 - 1).bit_length())
     stream, tb = device_huffman.encode_stream_device(
-        syms, jnp.asarray(lens_codes), cap, pwh
+        syms, jnp.asarray(lens_codes), cap, pwh, live=live
     )
     assert int(tb) == total_bits
     return mode, table + np.asarray(stream)[:stream_bytes].tobytes()

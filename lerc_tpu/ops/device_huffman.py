@@ -60,6 +60,52 @@ def symbol_streams_device(data, h: int, w: int, d: int, dt: DataType):
     return direct, delta
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "dt"))
+def symbol_streams_masked_device(data, mask, h: int, w: int, d: int, dt: DataType):
+    """Masked (direct, delta) symbol streams, COMPACTED to the valid pixels
+    (zero-padded past n_valid * d). Returns (direct, delta, n_valid).
+
+    direct: valid pixels row-major, depth inner. delta: depth-major; prev =
+    previous valid pixel in scan order, or the pixel above when the left
+    neighbor is invalid but the one above is valid (Lerc2.cpp:2311-2380)."""
+    offset = 128 if dt == DataType.CHAR else 0
+    x = data.astype(jnp.int32)  # [H, W, D]
+    n = h * w
+    m = mask.reshape(n)
+    n_valid = m.sum().astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(m).astype(jnp.int32) - 1
+
+    # direct: depth-inner over valid pixels
+    dsym = ((x + offset) & 0xFF).astype(jnp.uint8).reshape(n, d)
+    direct = jnp.zeros((n, d), jnp.uint8)
+    tgt = jnp.where(m, rank, n)
+    direct = direct.at[tgt].set(dsym, mode="drop").reshape(n * d)
+
+    # delta: prev = last valid in scan order (cummax fill + gather), or above
+    last_valid_idx = jax.lax.cummax(jnp.where(m, idx, -1))
+    prev_idx = jnp.concatenate([jnp.full(1, -1, jnp.int32), last_valid_idx[:-1]])
+    m2 = mask
+    left_ok = jnp.concatenate(
+        [jnp.zeros((h, 1), bool), m2[:, 1:] & m2[:, :-1]], axis=1
+    ).reshape(n)
+    above_ok = jnp.concatenate(
+        [jnp.zeros((1, w), bool), m2[1:, :] & m2[:-1, :]], axis=0
+    ).reshape(n)
+    use_above = (~left_ok) & above_ok & m
+    above_idx = idx - w
+    src = jnp.where(use_above, above_idx, prev_idx)
+    xs = x.reshape(n, d)
+    prev_vals = jnp.where(
+        (src >= 0)[:, None], xs[jnp.clip(src, 0, n - 1)], 0
+    )
+    delt = (((xs - prev_vals) + offset) & 0xFF).astype(jnp.uint8)
+    delta = jnp.zeros((n, d), jnp.uint8)
+    delta = delta.at[tgt].set(delt, mode="drop")  # [rank, depth]
+    delta = delta.T.reshape(d * n)  # depth-major over compacted ranks
+    return direct, delta, n_valid
+
+
 @jax.jit
 def histogram256(sym):
     """Exact 256-bin histogram of a uint8 array via nibble-factored
@@ -103,12 +149,14 @@ def _map256(sym, table_lanes):
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "pwh"))
-def encode_stream_device(sym, lens_codes, cap: int, pwh: int):
+def encode_stream_device(sym, lens_codes, cap: int, pwh: int, live=None):
     """Pack symbols into the reference's MSB-first Huffman bitstream.
 
     sym: [N] uint8; lens_codes: [256, 5] f32 (len, 4 code byte lanes).
     cap: output byte capacity (multiple of 1024). pwh: packed words per
-    64-symbol group (>= ceil(64*maxLen/32)+1, <= 128).
+    64-symbol group (>= ceil(64*maxLen/32)+1, <= 128). live (optional
+    [N] bool): positions marked False emit zero bits (gap skipping for
+    masked images -- the ragged packer concatenates only live symbols).
     Returns (stream u8 [cap], total_bits i32). Stream words are MSB-first
     bit containers stored little-endian (reference Huffman.h:218-255)."""
     n = sym.shape[0]
@@ -118,6 +166,9 @@ def encode_stream_device(sym, lens_codes, cap: int, pwh: int):
         sym = jnp.concatenate([sym, jnp.zeros(padn, jnp.uint8)])
     lk = _map256(sym, lens_codes.reshape(16, 16, 5))
     lens = lk[:, 0].astype(jnp.int32)
+    if live is not None:  # gap positions contribute zero bits
+        livep = jnp.concatenate([live, jnp.zeros(padn, bool)]) if padn else live
+        lens = jnp.where(livep, lens, 0)
     code = jnp.zeros(sym.shape, jnp.uint32)
     for b in range(4):
         code = code | (lk[:, 1 + b].astype(jnp.uint32) << (8 * b))

@@ -103,8 +103,8 @@ def test_fallback_routing():
     from lerc_tpu.constants import DataType
 
     assert not supports_encode(DataType.DOUBLE, 0.1, 1)
-    assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman (all-valid)
-    assert not supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)
+    assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman
+    assert supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)  # masked too
     assert supports_encode(DataType.FLOAT, 0.0, 1)  # device fpl lossless
     assert supports_encode(DataType.FLOAT, 0.001, 1)
     # device decoder bails to host on one-sweep blobs
@@ -334,3 +334,38 @@ def test_device_bit_plane_cut():
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(h, w)
         np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
+
+
+def test_device_huffman_masked():
+    """Masked 8-bit lossless images now take the device Huffman path:
+    compacted symbol streams with gap skipping must match the reference's
+    wire semantics (bit-exact through both decoders)."""
+    rng = np.random.default_rng(41)
+    h, w = 96, 120
+    base = (128 + 60 * np.sin(np.linspace(0, 6, h))[:, None]
+            * np.cos(np.linspace(0, 4, w))[None, :])
+    data = np.clip(base + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8)[:, :, None]
+    mask = rng.random((h, w)) > 0.25
+    blob = encode_band_device(data, mask, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.masks[0], mask)
+    np.testing.assert_array_equal(res.data[0, :, :, 0][mask], data[:, :, 0][mask])
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref[mask], data[:, :, 0][mask])
+    # size comparable to the host encoder on the same data
+    host_blob = BandEncoder(data, mask, 0.0).encode()
+    assert abs(len(blob) - len(host_blob)) < 96, (len(blob), len(host_blob))
+
+
+def test_device_huffman_masked_depth2():
+    rng = np.random.default_rng(43)
+    h, w, d = 64, 72, 2
+    data = rng.integers(100, 140, (h, w, d)).astype(np.uint8)
+    mask = rng.random((h, w)) > 0.4
+    blob = encode_band_device(data, mask, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0][mask], data[mask])
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w, d)
+        np.testing.assert_array_equal(ref[mask], data[mask])
