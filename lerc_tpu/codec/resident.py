@@ -134,10 +134,13 @@ class ResidentCodec:
             zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
         if blob.starts is not None:
             # scan-free path: the encoder's record-offset index
-            return device_decode.decode_tiles_fast(
+            img, index_ok = device_decode.decode_tiles_fast(
                 blob.stream, blob.starts, jnp.float32(head.max_z_error),
                 zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
             )
+            if not bool(index_ok):
+                raise ValueError("record-offset index inconsistent with stream")
+            return img
         (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = (
             device_scan.scan_records_device(
                 blob.stream, self.n_rec, head.dt, head.version, 64
@@ -273,10 +276,10 @@ class FusedResidentCodec(ResidentCodec):
                     zmax_vec = (acc << shift).astype(jnp.int32) >> shift
                 else:
                     zmax_vec = acc.astype(jnp.int32)
-            img = device_decode.decode_tiles_fast(
+            img, index_ok = device_decode.decode_tiles_fast(
                 stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver
             )
-            return img, ok
+            return img, ok & index_ok
 
         @jax.jit
         def decode_fused(header, stream):

@@ -212,7 +212,28 @@ def decode_tiles_fast(
         .transpose(0, 2, 1, 3, 4)
         .reshape(nbv * MB, nbh * MB, d)
     )
-    return img
+
+    # acceleration-index consistency: the index is untrusted HBM-side
+    # metadata (the Fletcher32 covers only wire bytes), so recompute each
+    # record's length from its parsed header and require it to match the
+    # next index entry -- a stale/tampered index fails loudly, not with
+    # silently wrong pixels
+    cnt_b0 = rd_u8(sb + 2 + off_w)
+    cnt_b1 = rd_u8(sb + 3 + off_w)
+    ne_i = (cnt_b0 | jnp.where(cw == 2, cnt_b1 << 8, 0)).astype(jnp.int32)
+    stuff_bytes = (ne_i * nb + 7) >> 3
+    length = jnp.where(
+        mode == 2, 1,
+        jnp.where(mode == 3, 1 + off_w,
+                  jnp.where(mode == 0, 1 + BS * size_t,
+                            1 + off_w + 1 + cw + stuff_bytes)),
+    )
+    is_lut_rec = (nbb & 32) > 0
+    nxt = jnp.concatenate([starts[1:], starts[:1] * 0 - 1])  # last unchecked
+    deltas = nxt - starts
+    ok_rec = (deltas == length) | is_lut_rec | (deltas < 0)
+    index_ok = ok_rec.all()
+    return img, index_ok
 
 
 def _unpack_records(stream, payload_pos, num_bits, max_vals: int):

@@ -313,9 +313,12 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
                 tile_h, tile_w, d, hd0.dt, hd0.version,
             )
         )
-        imgs = np.asarray(dec(
+        imgs, idx_ok = dec(
             jnp.asarray(batch), jnp.asarray(starts_all[dev_ok]), zmax_arg
-        ))
+        )
+        if not bool(np.asarray(idx_ok).all()):
+            raise ValueError("mosaic record-offset index inconsistent with streams")
+        imgs = np.asarray(imgs)
         for i, t in enumerate(dev_ok):
             ti, tj = divmod(t, tx)
             hs = min(tile_h, h - ti * tile_h)

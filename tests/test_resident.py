@@ -107,3 +107,23 @@ def test_resident_unfused_roundtrip():
         res.data[0, :, :, 0].astype(np.float64),
         np.asarray(img)[:, :, 0].astype(np.float64), atol=1e-4,
     )
+
+
+def test_tampered_index_detected():
+    """The record-offset acceleration index is untrusted metadata: a
+    corrupted index must fail loudly, never return wrong pixels."""
+    h = w = 64
+    codec = FusedResidentCodec(h, w, 1, np.float32, 0.01)
+    data = _dem(h, w, 1, np.float32, seed=11)
+    header, stream, meta, starts = codec.encode_fast(jnp.asarray(data))
+    bad = np.asarray(starts).copy()
+    bad[3] += 2  # shift one record start
+    img, ok = codec.decode_fast(header, stream, jnp.asarray(bad))
+    assert not bool(ok), "tampered index not detected"
+    # unfused path raises
+    blob = codec.encode(jnp.asarray(data))
+    blob.starts = jnp.asarray(bad)
+    import pytest
+
+    with pytest.raises(ValueError, match="index"):
+        codec.decode(blob)
