@@ -102,7 +102,8 @@ def test_fallback_routing():
     # configs the device encoder refuses
     from lerc_tpu.constants import DataType
 
-    assert not supports_encode(DataType.DOUBLE, 0.1, 1)
+    assert supports_encode(DataType.DOUBLE, 0.1, 1)  # lossy f64 (double-single)
+    assert not supports_encode(DataType.DOUBLE, 0.0, 1)  # lossless f64 -> host fpl
     assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman
     assert supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)  # masked too
     assert supports_encode(DataType.FLOAT, 0.0, 1)  # device fpl lossless
