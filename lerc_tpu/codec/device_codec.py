@@ -101,7 +101,6 @@ def encode_band_device(
             h, w, d, all_valid, version, cap,
         )
         # exact f64 ranges on host
-        sel = mask_np[:, :, None] & np.ones((h, w, d), bool)
         zmin_vec = np.array([data_np[:, :, k][mask_np].min() if num_valid else 0.0
                              for k in range(d)])
         zmax_vec = np.array([data_np[:, :, k][mask_np].max() if num_valid else 0.0

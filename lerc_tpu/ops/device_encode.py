@@ -405,6 +405,58 @@ def encode_tiles(
         else:
             use_lut = jnp.zeros(n_blocks, bool)
 
+        # ---- depth-diff candidate (v5+, int lossless, nDepth > 1): encode
+        # slice di vs di-1 when strictly smaller (Lerc2.cpp:1803-1945; flag
+        # bit2 marks the diff). int32 arithmetic is exact for <= 16-bit
+        # dtypes; INT/UINT diffs can overflow and keep absolute encoding.
+        try_diff = is_int and d > 1 and version >= 5 and size_t <= 2
+        if try_diff and di > 0:
+            diffv = xi - prev_xi
+            zmin_df = jnp.where(cnt > 0, jnp.where(vb, diffv, 2**30).min(axis=1), 0)
+            zmax_df = jnp.where(cnt > 0, jnp.where(vb, diffv, -(2**30)).max(axis=1), 0)
+            qd = jnp.where(vb, (diffv - zmin_df[:, None]).astype(jnp.uint32), 0)
+            if aligned_all_valid:
+                cqd = qd
+            else:
+                posd = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
+                cqd = jnp.take_along_axis(qd, perm, axis=1)
+                cqd = jnp.where(posd < cnt[:, None], cqd, 0)
+            max_qd = cqd.max(axis=1)
+            nbd = _bit_len(max_qd)
+            tc_d, off_w_d = _reduce_offset_int(zmin_df, DataType.INT)
+            off_word_d = _offset_word_int(zmin_df, off_w_d)
+            stuff_bytes_d = (cnt * nbd + 7) // 8
+            stuff_len_d = 1 + off_w_d + jnp.where(max_qd > 0, 1 + cw + stuff_bytes_d, 0)
+            pk_d = _pack_words(cqd, nbd, n_blocks, pw)
+            use_lut_d = jnp.zeros(n_blocks, bool)
+            if enable_lut:
+                n_lut_d, lut_payload_d, lut_plen_d = _lut_candidate(
+                    cqd, cnt, nbd, n_blocks, pw
+                )
+                lut_len_d = 2 + cw + off_w_d + lut_plen_d
+                use_lut_d = ((max_qd > 0) & (n_lut_d >= 1) & (n_lut_d < 255)
+                             & (lut_len_d < stuff_len_d))
+                stuff_len_d = jnp.where(use_lut_d, lut_len_d, stuff_len_d)
+                pk_d = jnp.where(use_lut_d[:, None], lut_payload_d[:, :pw], pk_d)
+            const0_d = (zmin_df == 0) & (zmax_df == 0)
+            diff_len = jnp.where(const0_d, 1, stuff_len_d)
+            use_diff = (int_lossless & (cnt > 0) & (~is_const0)
+                        & (diff_len < stuff_len) & (diff_len < raw_len))
+            is_const0 = is_const0 | (use_diff & const0_d)
+            stuff_len = jnp.where(use_diff, stuff_len_d, stuff_len)
+            pk = jnp.where(use_diff[:, None], pk_d, pk)
+            nb = jnp.where(use_diff, nbd, nb)
+            max_q = jnp.where(use_diff, max_qd, max_q)
+            tc = jnp.where(use_diff, tc_d, tc)
+            off_w = jnp.where(use_diff, off_w_d, off_w)
+            off_word = jnp.where(use_diff, off_word_d, off_word)
+            use_lut = jnp.where(use_diff, use_lut_d, use_lut)
+            diff_bit = use_diff.astype(jnp.uint32)
+        else:
+            diff_bit = jnp.zeros(n_blocks, jnp.uint32)
+        if is_int:
+            prev_xi = xi
+
         use_stuff = (~force_raw) & (stuff_len < raw_len)
         mode = jnp.where(
             is_const0, 2,
@@ -414,7 +466,8 @@ def encode_tiles(
             mode == 2, 1, jnp.where(mode == 0, raw_len, stuff_len)
         ).astype(jnp.int32)
 
-        flag = (integ | jnp.where(mode == 0, 0, jnp.where(mode == 2, 2, jnp.where(max_q > 0, 1, 3)))
+        flag = (integ | (diff_bit << 2)
+                | jnp.where(mode == 0, 0, jnp.where(mode == 2, 2, jnp.where(max_q > 0, 1, 3)))
                 | jnp.where(mode == 2, 0, jnp.where(mode == 0, 0, tc << 6))).astype(jnp.uint32)
         pkp = jnp.concatenate([jnp.zeros((n_blocks, 2), jnp.uint32), pk], axis=1)
         # pad to rec_w + 1 so static slices below stay in range

@@ -412,3 +412,47 @@ def test_device_f64_lossless_routes_to_host():
 
     assert not supports_encode(DataType.DOUBLE, 0.0, 1)
     assert supports_encode(DataType.DOUBLE, 0.01, 1)
+
+
+def test_device_depth_diff_int_lossless():
+    """nDepth>1 int lossless: correlated depth slices must select the
+    depth-diff encoding (flag bit2) on device, shrink the blob, and decode
+    bit-exactly through host and reference decoders."""
+    rng = np.random.default_rng(61)
+    h, w, d = 96, 112, 4
+    base = rng.integers(0, 20000, (h, w, 1)).astype(np.int16)
+    # strongly correlated slices: tiny per-depth deltas
+    data = (base + np.cumsum(rng.integers(-2, 3, (h, w, d)), axis=2)).astype(np.int16)
+    blob = encode_band_device(data, None, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0], data)
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w, d)
+        np.testing.assert_array_equal(ref, data)
+    # must beat the no-diff encoding decisively on this data
+    from lerc_tpu.ops import device_encode
+    import jax.numpy as jnp
+    from lerc_tpu.constants import DataType
+    s5, t5, _, _, _ = device_encode.encode_tiles(
+        jnp.asarray(data.astype(np.int32)), jnp.ones((h, w), bool),
+        jnp.float32(0.5), h, w, d, DataType.SHORT, True, 4,  # v4: no diff
+        1 << 19,
+    )
+    assert len(blob) < int(t5) * 0.8, (len(blob), int(t5))
+    # host encoder size parity
+    host_blob = BandEncoder(data, None, 0.0).encode()
+    assert len(blob) <= len(host_blob) * 1.05, (len(blob), len(host_blob))
+
+
+def test_device_depth_diff_masked():
+    rng = np.random.default_rng(63)
+    h, w, d = 64, 80, 3
+    base = rng.integers(0, 250, (h, w, 1)).astype(np.uint16)
+    data = np.clip(base + np.cumsum(rng.integers(0, 2, (h, w, d)), axis=2), 0, 60000).astype(np.uint16)
+    mask = rng.random((h, w)) > 0.3
+    blob = encode_band_device(data, mask, 0)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0][mask], data[mask])
+    if oracle.available():
+        ref = oracle.decode(blob)[0].reshape(h, w, d)
+        np.testing.assert_array_equal(ref[mask], data[mask])
