@@ -339,11 +339,14 @@ class BandEncoder:
 
             try_lut = (cnt > 4) & (zmax > zmin + 3 * mze) & (2 * cnt_same > cnt)
 
-            # quantization (f64, matches Lerc2.h:358-376)
+            # quantization (f64, matches Lerc2.h:358-376); invalid lanes are
+            # never emitted but can hold NaN/inf from masked-out pixels --
+            # sanitize them so the int casts stay warning-free
+            xq = np.where(vmask_b, xf, zmin[:, None])
             if int_lossless:
-                quant = (xf - zmin[:, None]).astype(np.int64).astype(np.uint32)
+                quant = (xq - zmin[:, None]).astype(np.int64).astype(np.uint32)
             elif mze > 0:
-                quant = np.floor((xf - zmin[:, None]) * scale + 0.5).astype(np.int64).astype(np.uint32)
+                quant = np.floor((xq - zmin[:, None]) * scale + 0.5).astype(np.int64).astype(np.uint32)
             else:
                 quant = np.zeros_like(xb, dtype=np.uint32)
 
