@@ -29,6 +29,7 @@ from .api import (
     getLercDatatype,
     getLercShape,
 )
+from .codec.encode_orchestrator import set_acceleration
 from .constants import DataType, ErrCode
 
-__version__ = "0.1.0"
+__version__ = "0.9.0"
