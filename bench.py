@@ -62,22 +62,33 @@ def fetch(x):
 
 
 def bench_ours(rounds=4):
-    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR)
     tiles = make_tiles()
     fetch(tiles[0, 0, 0, 0])
 
-    enc_b = jax.jit(jax.vmap(codec._encode_fused))
+    def build(nb_cap):
+        codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                                   nb_cap=nb_cap)
+        enc_b = jax.jit(jax.vmap(codec._encode_fused))
 
-    def _dec(header, stream, starts):
-        img, ok = codec._decode_fused_fast(header, stream, starts)
-        return img, ok, img[0, 0, 0]
+        def _dec(header, stream, starts):
+            img, ok = codec._decode_fused_fast(header, stream, starts)
+            return img, ok, img[0, 0, 0]
 
-    dec_b = jax.jit(jax.vmap(_dec))
+        return codec, enc_b, jax.jit(jax.vmap(_dec))
 
+    # nb_cap=16 selects the byte-aligned grouped kernels (~6x less one-hot
+    # routing traffic); blocks needing wider packed values flip the fits
+    # flag and we fall back to the uncapped variant
+    codec, enc_b, dec_b = build(16)
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     headers, streams, metas, starts = enc_b(tiles)
-    fetch(metas)
+    metas_h = fetch(metas)
+    if not metas_h[:, 2].all():
+        print("nb_cap=16 insufficient; using full kernels", file=sys.stderr, flush=True)
+        codec, enc_b, dec_b = build(0)
+        headers, streams, metas, starts = enc_b(tiles)
+        fetch(metas)
     print(f"encode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     imgs, oks, probes = dec_b(headers, streams, starts)

@@ -107,7 +107,7 @@ def encode_band_device(
                              for k in range(d)])
     else:
         data_dev = jnp.asarray(np.asarray(data), dtype=dev_dtype) if not isinstance(data, jax.Array) else data.astype(dev_dtype)
-        stream, total, zmin_vec, zmax_vec, _starts = device_encode.encode_tiles(
+        stream, total, zmin_vec, zmax_vec, _starts, _fits = device_encode.encode_tiles(
             data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid, version, cap,
             enable_lut=True,
         )
@@ -199,7 +199,7 @@ def encode_band_device(
         and (h > 8 or w > 8)
         and dt != DataType.DOUBLE
     ):
-        s16, t16, _zm, _zx, _st16 = device_encode.encode_tiles(
+        s16, t16, _zm, _zx, _st16, _f16 = device_encode.encode_tiles(
             data_dev, mask_dev, jnp.float32(mze), h, w, d, dt, all_valid,
             version, cap, enable_lut=True, mb=16,
         )

@@ -41,8 +41,14 @@ class ResidentBlob:
 
 class ResidentCodec:
     def __init__(self, h: int, w: int, d: int = 1, dtype=np.float32,
-                 max_z_error: float = 0.001, version: int = 6):
+                 max_z_error: float = 0.001, version: int = 6,
+                 nb_cap: int = 0):
         self.h, self.w, self.d = h, w, d
+        # nb_cap <= 16 selects the cheaper byte-aligned grouped kernels,
+        # sized for packed widths <= nb_cap; blocks needing more trigger a
+        # transparent re-encode/decode on the uncapped variant (the `fits`
+        # flag from the device kernels).
+        self.nb_cap = int(nb_cap)
         self.dt = NUMPY_TO_DT[np.dtype(dtype)]
         self.np_dtype = np.dtype(dtype)
         self.version = version
@@ -65,10 +71,16 @@ class ResidentCodec:
     # ---- encode -----------------------------------------------------------
 
     def encode(self, data_dev: jax.Array) -> ResidentBlob:
-        stream, total, zmin_vec, zmax_vec, starts = device_encode.encode_tiles(
+        stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
             data_dev, self._ones, jnp.float32(self.mze),
             self.h, self.w, self.d, self.dt, True, self.version, self.cap,
+            nb_cap=self.nb_cap,
         )
+        if self.nb_cap and not bool(fits):
+            stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
+                data_dev, self._ones, jnp.float32(self.mze),
+                self.h, self.w, self.d, self.dt, True, self.version, self.cap,
+            )
         total_i = int(total)
         zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
         zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
@@ -133,8 +145,12 @@ class ResidentCodec:
         else:
             zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
         if blob.starts is not None:
-            # scan-free path: the encoder's record-offset index
-            img, index_ok = device_decode.decode_tiles_fast(
+            # scan-free path: the encoder's record-offset index. Decode
+            # always uses the full-width kernel: the capped/grouped decode
+            # variant showed no single-call gain on TPU and regressed
+            # under vmap batching (decode is gather/roll-bound, not
+            # extraction-bound), so nb_cap only accelerates ENCODE here.
+            img, index_ok, _fits = device_decode.decode_tiles_fast(
                 blob.stream, blob.starts, jnp.float32(head.max_z_error),
                 zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
             )
@@ -204,10 +220,13 @@ class FusedResidentCodec(ResidentCodec):
         def _u32_bytes(word):
             return jnp.stack([(word >> jnp.uint32(8 * i)) & 0xFF for i in range(4)]).astype(jnp.uint8)
 
+        nb_cap = self.nb_cap
+
         @jax.jit
         def encode_fused(data_dev):
-            stream, total, zminv, zmaxv, starts = device_encode.encode_tiles(
-                data_dev, ones, jnp.float32(mze), h_, w_, d_, dt_, True, ver, cap
+            stream, total, zminv, zmaxv, starts, fits = device_encode.encode_tiles(
+                data_dev, ones, jnp.float32(mze), h_, w_, d_, dt_, True, ver, cap,
+                nb_cap=nb_cap,
             )
             header = tmpl
             # blobSize
@@ -242,7 +261,8 @@ class FusedResidentCodec(ResidentCodec):
             header = jax.lax.dynamic_update_slice(
                 header, _u32_bytes(checksum), (skip - 4,)
             )
-            meta = jnp.stack([total.astype(jnp.int32), checksum.astype(jnp.int32)])
+            meta = jnp.stack([total.astype(jnp.int32), checksum.astype(jnp.int32),
+                              fits.astype(jnp.int32)])
             return header, stream, meta, starts
 
         @jax.jit
@@ -276,8 +296,10 @@ class FusedResidentCodec(ResidentCodec):
                     zmax_vec = (acc << shift).astype(jnp.int32) >> shift
                 else:
                     zmax_vec = acc.astype(jnp.int32)
-            img, index_ok = device_decode.decode_tiles_fast(
-                stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver
+            # full-width decode kernel: the capped variant regresses under
+            # vmap (see ResidentCodec.decode); encode-side fits is in meta
+            img, index_ok, _fits = device_decode.decode_tiles_fast(
+                stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver,
             )
             return img, ok & index_ok
 

@@ -24,21 +24,34 @@ BS = MB * MB
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "d", "dt", "version")
+    jax.jit, static_argnames=("h", "w", "d", "dt", "version", "nb_cap",
+                              "use_grouped", "use_narrow")
 )
 def decode_tiles_fast(
     stream,       # [S] uint8 tile-stream bytes, S % 512 == 0
     starts,       # [nRec] i32 record-offset index
     max_z_error,  # f32 scalar
     z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
-    h: int, w: int, d: int, dt: DataType, version: int,
+    h: int, w: int, d: int, dt: DataType, version: int, nb_cap: int = 0,
+    use_grouped: bool = False, use_narrow: bool = False,
 ):
     """All-valid aligned fast decode. One full-row gather ([2, 128] words
     per record at ~bandwidth) brings each record's bytes into a dense
     window; header parse, payload alignment and value extraction are then
     elementwise (dynamic lane roll composed from static rolls, one-hot MXU
-    matmuls). Returns [H, W, D] native dtype. Requires H, W multiples of
-    8, no mask, no LUT records (what our device encoder emits)."""
+    matmuls). Returns (img [H, W, D] native dtype, index_ok, fits).
+    Requires H, W multiples of 8, no mask, no LUT records (what our
+    device encoder emits).
+
+    nb_cap > 0 statically caps the bit width the kernel is sized for.
+    Records wider than the cap (or 4-byte raw records under a <32 cap)
+    make `fits` False -- the image is then invalid and callers fall back
+    to the uncapped variant. fits is always True when the cap covers the
+    dtype. use_grouped enables the byte-aligned grouped extraction
+    (8-value groups at nb bits start byte-aligned) and use_narrow the
+    narrowed lane roll; both default OFF: measured on TPU v5e they gave
+    no single-call gain (decode is bound by the row gather + roll, not
+    extraction) and the grouped dot regressed ~2x under vmap batching."""
     assert h % MB == 0 and w % MB == 0
     is_int = dt < DataType.FLOAT
     np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
@@ -47,7 +60,10 @@ def decode_tiles_fast(
               DataType.FLOAT: jnp.float32}[dt]
     size_t = np.dtype(np_out).itemsize
     max_nb = {1: 8, 2: 16, 4: 32}[size_t]
-    pw = (BS * max_nb + 31) // 32 + 1
+    eff_cap = max_nb if nb_cap <= 0 else min(nb_cap, max_nb)
+    grouped = eff_cap <= 16 and use_grouped
+    always_fits = eff_cap >= max_nb
+    pw = (BS * eff_cap + 31) // 32 + 1
     assert pw + 3 + 127 <= 256  # record window spans at most 2 rows
 
     nbv, nbh = h // MB, w // MB
@@ -66,8 +82,16 @@ def decode_tiles_fast(
     )
     winr = u32v2[rows_idx].reshape(n_rec, 256)
     lane = (q & 127)[:, None]
-    for b in range(7):  # left roll by lane, composed from static rolls
-        winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
+    if pw + 4 + 63 <= 128 and use_narrow:
+        # narrowed roll: clear lane bit 6 at full width, then the rest
+        # within one 128-lane row (halves the roll's HBM traffic)
+        winr = jnp.where((lane >> 6) & 1 == 1, jnp.roll(winr, -64, axis=1), winr)
+        winr = winr[:, :128]
+        for b in range(6):
+            winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
+    else:
+        for b in range(7):  # left roll by lane, composed from static rolls
+            winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
     # winr[:, j] = stream word at word offset (starts >> 2) + j
     sb = (starts & 3).astype(jnp.int32)  # byte offset of the record in word 0
 
@@ -149,37 +173,91 @@ def decode_tiles_fast(
     # unified bit extraction: stuff uses nb bits/value, raw uses the native
     # width; const modes are patched afterwards
     eff_nb = jnp.where(mode == 0, 8 * size_t, nb)
-    bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * eff_nb[:, None]
-    m_idx = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint32)
-
-    # per-record word selection as ONE batched one-hot MXU matmul over the
-    # 4 byte lanes of win and of win-shifted-one-word (exact: lanes <= 255,
-    # one-hot rows sum to 1); ~100x faster than XLA row gathers
-    wr = jnp.arange(pw, dtype=jnp.int32)
-    oh = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
-    win_n = jnp.concatenate(  # win shifted one word (the m_idx+1 selection)
-        [win[:, 1:], jnp.zeros((n_rec, 1), jnp.uint32)], axis=1
-    )
-    wl = jnp.stack(
-        [((win >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)]
-        + [((win_n >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
-        axis=2,
-    )  # [nRec, pw, 8]
-    s = jax.lax.dot_general(
-        oh, wl, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.uint32)  # [nRec, BS, 8]
-    lo = jnp.zeros((n_rec, BS), jnp.uint32)
-    hi = jnp.zeros((n_rec, BS), jnp.uint32)
-    for b in range(4):
-        lo = lo | (s[:, :, b] << (8 * b))
-        hi = hi | (s[:, :, 4 + b] << (8 * b))
     nb_u = eff_nb[:, None].astype(jnp.uint32)
     mask_bits = jnp.where(
         nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)
     )
-    val = ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
+    if grouped:
+        # byte-aligned grouped extraction: 8 values at nb bits are exactly
+        # nb bytes, so group g starts at byte g*nb. Route only the BS/8
+        # group containers through the one-hot MXU matmul (8x fewer rows),
+        # then unpack each 128-bit container elementwise.
+        ng = BS // 8
+        g = jnp.arange(ng, dtype=jnp.int32)[None, :]
+        byte_off = g * eff_nb[:, None]                    # [nRec, ng]
+        w0i = byte_off >> 2
+        ph = byte_off & 3
+        wr = jnp.arange(pw, dtype=jnp.int32)
+        oh = (w0i[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+        winx = jnp.concatenate([win, jnp.zeros((n_rec, 4), jnp.uint32)], axis=1)
+        lanes = jnp.stack(
+            [((winx[:, k:k + pw] >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+             for k in range(5) for b in range(4)], axis=2)  # [nRec, pw, 20]
+        s = jax.lax.dot_general(
+            oh, lanes, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32)                              # [nRec, ng, 20]
+        c5 = []
+        for k in range(5):
+            wk = jnp.zeros((n_rec, ng), jnp.uint32)
+            for b in range(4):
+                wk = wk | (s[:, :, 4 * k + b] << (8 * b))
+            c5.append(wk)
+        cw5 = jnp.stack(c5, axis=-1)                      # [nRec, ng, 5]
+
+        def rsh(k):  # drop the k-byte phase: container bytes from byte k
+            if k == 0:
+                return cw5[..., 0:4]
+            s_ = jnp.uint32(8 * k)
+            return (cw5[..., 0:4] >> s_) | (cw5[..., 1:5] << (jnp.uint32(32) - s_))
+
+        cont = rsh(0)
+        for k in (1, 2, 3):
+            cont = jnp.where((ph == k)[..., None], rsh(k), cont)  # [nRec, ng, 4]
+        contx = jnp.concatenate([cont, jnp.zeros_like(cont[..., :1])], axis=-1)
+        vals = []
+        for j in range(8):  # value j of each group at bit j*nb (< 128)
+            bit = j * eff_nb[:, None]                     # [nRec, 1]
+            wj = bit >> 5
+            shj = (bit & 31).astype(jnp.uint32)
+            w_lo = contx[..., 0]
+            w_hi = contx[..., 1]
+            for t_ in (1, 2, 3):
+                m = wj == t_
+                w_lo = jnp.where(m, contx[..., t_], w_lo)
+                w_hi = jnp.where(m, contx[..., t_ + 1], w_hi)
+            v = (w_lo >> shj) | jnp.where(shj > 0, w_hi << (jnp.uint32(32) - shj), 0)
+            vals.append(v & mask_bits)
+        val = jnp.stack(vals, axis=-1).reshape(n_rec, BS)
+    else:
+        bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * eff_nb[:, None]
+        m_idx = bitpos >> 5
+        sh = (bitpos & 31).astype(jnp.uint32)
+
+        # per-record word selection as ONE batched one-hot MXU matmul over
+        # the 4 byte lanes of win and of win-shifted-one-word (exact:
+        # lanes <= 255, one-hot rows sum to 1); ~100x faster than XLA row
+        # gathers
+        wr = jnp.arange(pw, dtype=jnp.int32)
+        oh = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+        win_n = jnp.concatenate(  # win shifted one word (the m_idx+1 selection)
+            [win[:, 1:], jnp.zeros((n_rec, 1), jnp.uint32)], axis=1
+        )
+        wl = jnp.stack(
+            [((win >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)]
+            + [((win_n >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
+            axis=2,
+        )  # [nRec, pw, 8]
+        s = jax.lax.dot_general(
+            oh, wl, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32)  # [nRec, BS, 8]
+        lo = jnp.zeros((n_rec, BS), jnp.uint32)
+        hi = jnp.zeros((n_rec, BS), jnp.uint32)
+        for b in range(4):
+            lo = lo | (s[:, :, b] << (8 * b))
+            hi = hi | (s[:, :, 4 + b] << (8 * b))
+        val = ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
 
     m2 = mode[:, None]
     if not is_int:
@@ -233,7 +311,11 @@ def decode_tiles_fast(
     deltas = nxt - starts
     ok_rec = (deltas == length) | is_lut_rec | (deltas < 0)
     index_ok = ok_rec.all()
-    return img, index_ok
+    if always_fits:
+        fits = jnp.bool_(True)
+    else:
+        fits = ~jnp.any(((mode == 0) | (mode == 1)) & (eff_nb > eff_cap))
+    return img, index_ok, fits
 
 
 def _unpack_records(stream, payload_pos, num_bits, max_vals: int):

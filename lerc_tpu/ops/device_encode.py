@@ -164,6 +164,93 @@ def _pack_words(cq, nb, n_blocks, pw: int):
     )
 
 
+def _pack_words_grouped(cq, nb, n_blocks, pw: int):
+    """Bit-stuff [nB, bs] values at nb <= 16 bits each into [nB, pw] u32
+    words (LSB-first stream), exploiting byte alignment of value groups.
+
+    Key identity: 8 values at nb bits occupy exactly nb BYTES, so every
+    8-value group starts byte-aligned in the stream. Values merge into
+    128-bit group containers with elementwise log-steps (pair -> quad ->
+    oct; all shifts < 32 stay in u32 lanes, wider ones split across two
+    words), and only the bs/8 containers go through the one-hot MXU
+    routing -- 8x fewer one-hot rows than routing every value, which cuts
+    the dominant HBM traffic of the pack ~6x. Exact for nb <= 16; callers
+    gate on that (records with nb > 16 take _pack_words)."""
+    bs = cq.shape[1]
+    ng = bs // 8
+    nbu = nb.astype(jnp.uint32)[:, None]
+
+    # pairs: value stride 2*nb <= 32 bits, one u32 lane each
+    p = cq[:, 0::2] | (cq[:, 1::2] << nbu)  # [nB, bs/2]
+
+    # quads: stride 4*nb <= 64 bits -> two u32 words (lo, hi)
+    s2 = 2 * nbu
+    p0, p1 = p[:, 0::2], p[:, 1::2]
+    qlo = p0 | jnp.where(s2 < 32, p1 << s2, 0)
+    qhi = jnp.where(s2 < 32, jnp.where(s2 > 0, p1 >> (32 - s2), 0), p1)
+
+    # octs: stride 8*nb <= 128 bits -> four u32 words per group container
+    e0, e1 = qlo[:, 0::2], qhi[:, 0::2]
+    o0, o1 = qlo[:, 1::2], qhi[:, 1::2]
+    t = 4 * nbu  # shift of the odd quad, in [0, 64]
+    r = t & 31
+    a_ = t >> 5  # whole-word part: 0, 1, or 2 (t == 64)
+    s0 = o0 << r
+    s1 = jnp.where(r > 0, (o1 << r) | (o0 >> (32 - r)), o1)
+    s2_ = jnp.where(r > 0, o1 >> (32 - r), 0)
+    c0 = e0 | jnp.where(a_ == 0, s0, 0)
+    c1 = e1 | jnp.where(a_ == 0, s1, jnp.where(a_ == 1, s0, 0))
+    c2 = jnp.where(a_ == 0, s2_, jnp.where(a_ == 1, s1, s0))
+    c3 = jnp.where(a_ == 1, s2_, jnp.where(a_ == 2, s1, 0))
+    c = jnp.stack([c0, c1, c2, c3], axis=-1)  # [nB, ng, 4], nb bytes used
+
+    # group g starts at byte g*nb: pre-shift by the byte phase -> 5 words
+    g = jnp.arange(ng, dtype=jnp.int32)[None, :]
+    byte_off = g * nb[:, None]  # [nB, ng]
+    ph = byte_off & 3
+    w0i = byte_off >> 2
+    z1 = jnp.zeros_like(c[..., :1])
+
+    def bsh(k):
+        if k == 0:
+            return jnp.concatenate([c, z1], axis=-1)
+        s_ = jnp.uint32(8 * k)
+        cp = jnp.concatenate([z1, c], axis=-1)
+        cn = jnp.concatenate([c, z1], axis=-1)
+        return (cp >> (jnp.uint32(32) - s_)) | (cn << s_)
+
+    sh5 = bsh(0)
+    for k in (1, 2, 3):
+        sh5 = jnp.where((ph == k)[..., None], bsh(k), sh5)  # [nB, ng, 5]
+
+    # route containers to their word slots: one-hot bf16 MXU matmul over
+    # 20 byte lanes (5 words x 4 bytes). Groups occupy disjoint byte
+    # ranges, so every (word, lane) slot gets at most one nonzero
+    # contribution -- bf16 x {0,1} accumulation is exact.
+    wr = jnp.arange(pw, dtype=jnp.int32)
+    oh = (w0i[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+    lanes = jnp.stack(
+        [((sh5[..., k] >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+         for k in range(5) for b in range(4)],
+        axis=2,
+    )  # [nB, ng, 20]
+    s = jax.lax.dot_general(
+        oh, lanes, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32)  # [nB, pw, 20]
+    out = jnp.zeros((n_blocks, pw), jnp.uint32)
+    for k in range(5):
+        wk = jnp.zeros((n_blocks, pw), jnp.uint32)
+        for b in range(4):
+            wk = wk | (s[:, :, 4 * k + b] << (8 * b))
+        if k:
+            wk = jnp.concatenate(
+                [jnp.zeros((n_blocks, k), jnp.uint32), wk[:, :-k]], axis=1
+            )
+        out = out | wk
+    return out
+
+
 def _shift_words_1b(w, k: int):
     """Shift a [N, W] LE word array right by k BYTES in the byte stream
     (i.e. bytes move to higher positions), returning [N, W+1]."""
@@ -194,7 +281,7 @@ def _compact_by_rank(vals, rank, valid, width: int):
     return out
 
 
-def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
+def _lut_candidate(cq, cnt, nb, n_blocks, pw: int, pack=_pack_words):
     """Per-block LUT-mode candidate (BitStuffer2::EncodeLut semantics,
     BitStuffer2.cpp:79-153): sorted distinct nonzero values bit-stuffed at
     nb bits, then per-value indices at bitlen(nLut) bits; index 0 denotes
@@ -218,10 +305,10 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
 
     rank_nz = jnp.cumsum(occ_nz, axis=1).astype(jnp.int32) - 1
     lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, bs)
-    lutpk = _pack_words(lut_vals, nb, n_blocks, pw)
+    lutpk = pack(lut_vals, nb, n_blocks, pw)
     # nbits_lut <= bitlen(n_lut) <= 8 for 16x16 blocks (n_lut < 255), 6 for 8x8
     pw_idx = (bs * (8 if bs > 64 else 6) + 31) // 32 + 1
-    idxpk = _pack_words(idx, nbits_lut, n_blocks, pw_idx)
+    idxpk = pack(idx, nbits_lut, n_blocks, pw_idx)
 
     lut_bytes = (n_lut * nb + 7) // 8
     idx_bytes = (cnt * nbits_lut + 7) // 8
@@ -255,7 +342,7 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int):
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap",
-                     "enable_lut", "mb"),
+                     "enable_lut", "mb", "nb_cap"),
 )
 def encode_tiles(
     data,  # [H, W, D] float32 or int32
@@ -270,9 +357,19 @@ def encode_tiles(
     cap: int,
     enable_lut: bool = False,
     mb: int = 8,
+    nb_cap: int = 0,
 ):
     """Returns (out_bytes [cap] u8, total_len, z_min_vec [D], z_max_vec [D],
-    starts [nRec] i32) -- starts is the record-offset acceleration index."""
+    starts [nRec] i32, fits bool) -- starts is the record-offset
+    acceleration index.
+
+    nb_cap > 0 statically caps the per-block packed bit width the kernel
+    is sized for; with nb_cap <= 16 the much cheaper byte-aligned grouped
+    pack is used (and for 8/16-bit dtypes it always is). If any selected
+    block needs more bits than the cap, the stream is invalid and `fits`
+    is False -- callers re-encode with nb_cap=0 (see device_codec /
+    FusedResidentCodec). fits is always True when the cap covers the
+    dtype's max width."""
     is_int = dt < DataType.FLOAT
     size_t = {DataType.CHAR: 1, DataType.BYTE: 1, DataType.SHORT: 2, DataType.USHORT: 2,
               DataType.INT: 4, DataType.UINT: 4, DataType.FLOAT: 4}[dt]
@@ -280,7 +377,17 @@ def encode_tiles(
     bs = mb * mb  # values per micro block (64, or 256 for the 16x16 retrial)
     # max numBits for this dtype bounds the packed-word count
     max_nb = {1: 8, 2: 16, 4: 31}[size_t]
-    pw = (bs * max_nb + 31) // 32 + 1  # +1 spill slack
+    eff_cap = max_nb if nb_cap <= 0 else min(nb_cap, max_nb)
+    grouped = eff_cap <= 16
+    always_fits = eff_cap >= max_nb
+    pw = (bs * eff_cap + 31) // 32 + 1  # +1 spill slack
+    if grouped:
+        assert (bs // 8 * eff_cap + 2) // 4 + 1 <= pw
+
+    def pack(vals, nbits, nblk, pw_):
+        if grouped:
+            return _pack_words_grouped(vals, nbits, nblk, pw_)
+        return _pack_words(vals, nbits, nblk, pw_)
     raw_w = (1 + bs * size_t + 3) // 4  # raw record word count
     rec_w = max(raw_w, (8 + 4 * (pw - 1) + 3) // 4, pw + 3) + 1
     cap_w = cap // 4
@@ -391,11 +498,11 @@ def encode_tiles(
         raw_len = 1 + cnt * size_t
 
         # ---- packed payload words [nB, pw]
-        pk = _pack_words(cq, nb, n_blocks, pw)
+        pk = pack(cq, nb, n_blocks, pw)
 
         if enable_lut:
             n_lut, lut_payload, lut_payload_len = _lut_candidate(
-                cq, cnt, nb, n_blocks, pw
+                cq, cnt, nb, n_blocks, pw, pack
             )
             lut_len = 2 + cw + off_w + lut_payload_len
             use_lut = ((max_q > 0) & (n_lut >= 1) & (n_lut < 255)
@@ -427,11 +534,11 @@ def encode_tiles(
             off_word_d = _offset_word_int(zmin_df, off_w_d)
             stuff_bytes_d = (cnt * nbd + 7) // 8
             stuff_len_d = 1 + off_w_d + jnp.where(max_qd > 0, 1 + cw + stuff_bytes_d, 0)
-            pk_d = _pack_words(cqd, nbd, n_blocks, pw)
+            pk_d = pack(cqd, nbd, n_blocks, pw)
             use_lut_d = jnp.zeros(n_blocks, bool)
             if enable_lut:
                 n_lut_d, lut_payload_d, lut_plen_d = _lut_candidate(
-                    cqd, cnt, nbd, n_blocks, pw
+                    cqd, cnt, nbd, n_blocks, pw, pack
                 )
                 lut_len_d = 2 + cw + off_w_d + lut_plen_d
                 use_lut_d = ((max_qd > 0) & (n_lut_d >= 1) & (n_lut_d < 255)
@@ -579,14 +686,20 @@ def encode_tiles(
         )
         rec = rec & bmask
 
-        per_depth.append((rec, length))
+        if always_fits:
+            fits_d = jnp.bool_(True)
+        else:
+            # only bit-stuffed payloads (mode 1, incl. LUT) use the pack
+            fits_d = ~jnp.any((mode == 1) & (nb > eff_cap))
+        per_depth.append((rec, length, fits_d))
 
     # ---- interleave records block-major, depth inner: r = b*D + d
     if d == 1:
-        rec, length = per_depth[0]
+        rec, length, fits = per_depth[0]
     else:
         rec = jnp.stack([p[0] for p in per_depth], axis=1).reshape(n_blocks * d, rec_w)
         length = jnp.stack([p[1] for p in per_depth], axis=1).reshape(n_blocks * d)
+        fits = functools.reduce(jnp.logical_and, [p[2] for p in per_depth])
     n_rec = n_blocks * d
 
     # ---- assembly: exclusive scan of lengths -> shift each record by
@@ -603,14 +716,30 @@ def encode_tiles(
         shifted = jnp.where((sh == k)[:, None], _shift_words_1b(rec, k), shifted)
 
     q = starts >> 2  # word offset; span must fit w_roll (rec_w+1+127 words)
-    w_roll = 256 if rec_w + 1 + 127 <= 256 else 512
-    assert rec_w + 1 + 127 <= w_roll
+    span = rec_w + 1
     lane = (q & 127)[:, None]
-    rec256 = jnp.concatenate(
-        [shifted, jnp.zeros((n_rec, w_roll - rec_w - 1), jnp.uint32)], axis=1
-    )
-    for b in range(7):  # dynamic lane roll composed from static rolls
-        rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
+    if span + 31 <= 128:
+        # narrowed roll: lane bits 0..4 act within one 128-lane row (half
+        # the HBM traffic of rolling the full 256-wide window every step)
+        w_roll = 256
+        rec128 = jnp.concatenate(
+            [shifted, jnp.zeros((n_rec, 128 - span), jnp.uint32)], axis=1
+        )
+        for b in range(5):
+            rec128 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec128, 1 << b, axis=1), rec128)
+        rec256 = jnp.concatenate(
+            [rec128, jnp.zeros((n_rec, 128), jnp.uint32)], axis=1
+        )
+        for b in (5, 6):
+            rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
+    else:
+        w_roll = 256 if span + 127 <= 256 else 512
+        assert span + 127 <= w_roll
+        rec256 = jnp.concatenate(
+            [shifted, jnp.zeros((n_rec, w_roll - rec_w - 1), jnp.uint32)], axis=1
+        )
+        for b in range(7):  # dynamic lane roll composed from static rolls
+            rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
 
     n_row = cap_w // 128
     n_span = w_roll // 128
@@ -619,4 +748,4 @@ def encode_tiles(
     out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, n_span, 128), mode="drop")
 
     stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
-    return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts
+    return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts, fits

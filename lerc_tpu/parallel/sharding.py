@@ -63,7 +63,7 @@ def _encode_tiles_sharded(
     global_min [D], global_max [D]); all sharded/replicated appropriately."""
 
     def encode_one(tile, mask):
-        stream, total, zmin, zmax, starts = device_encode.encode_tiles(
+        stream, total, zmin, zmax, starts, _fits = device_encode.encode_tiles(
             tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version, cap
         )
         return stream, total, zmin.astype(jnp.float32), zmax.astype(jnp.float32), starts
@@ -311,7 +311,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
             lambda s, st, zm: device_decode.decode_tiles_fast(
                 s, st, jnp.float32(hd0.max_z_error), zm,
                 tile_h, tile_w, d, hd0.dt, hd0.version,
-            )
+            )[:2]
         )
         imgs, idx_ok = dec(
             jnp.asarray(batch), jnp.asarray(starts_all[dev_ok]), zmax_arg

@@ -433,7 +433,7 @@ def test_device_depth_diff_int_lossless():
     from lerc_tpu.ops import device_encode
     import jax.numpy as jnp
     from lerc_tpu.constants import DataType
-    s5, t5, _, _, _ = device_encode.encode_tiles(
+    s5, t5, _, _, _, _ = device_encode.encode_tiles(
         jnp.asarray(data.astype(np.int32)), jnp.ones((h, w), bool),
         jnp.float32(0.5), h, w, d, DataType.SHORT, True, 4,  # v4: no diff
         1 << 19,

@@ -127,3 +127,46 @@ def test_tampered_index_detected():
 
     with pytest.raises(ValueError, match="index"):
         codec.decode(blob)
+
+
+def test_nb_cap_grouped_matches_full():
+    """nb_cap=16 selects the byte-aligned grouped pack/extract kernels;
+    when every block fits, the wire bytes and the acceleration index must
+    be identical to the uncapped kernels, and decode must agree."""
+    h = w = 64
+    data = _dem(h, w, 1, np.float32, seed=11)
+    # 0.01 keeps every block's packed width <= 16 bits on this DEM
+    full = FusedResidentCodec(h, w, 1, np.float32, 0.01)
+    capped = FusedResidentCodec(h, w, 1, np.float32, 0.01, nb_cap=16)
+    h0, s0, m0, st0 = full.encode_fast(jnp.asarray(data))
+    h1, s1, m1, st1 = capped.encode_fast(jnp.asarray(data))
+    assert int(np.asarray(m1)[2]) == 1  # fits
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+    img0, ok0 = full.decode_fast(h0, s0, st0)
+    img1, ok1 = capped.decode_fast(h1, s1, st1)
+    assert bool(ok0) and bool(ok1)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
+def test_nb_cap_unfit_flags_and_fallback():
+    """Blocks needing > 16 packed bits: the fused capped codec reports
+    unfit (meta[2] == 0, decode ok False), and the unfused ResidentCodec
+    transparently re-encodes with the full kernels."""
+    h = w = 64
+    rng = np.random.default_rng(5)
+    # block range ~900 at maxZError 0.001 -> ~19 packed bits, not raw
+    data = rng.normal(0, 150, (h, w, 1)).astype(np.float32)
+    capped = FusedResidentCodec(h, w, 1, np.float32, 0.001, nb_cap=16)
+    hh, ss, mm, st = capped.encode_fast(jnp.asarray(data))
+    assert int(np.asarray(mm)[2]) == 0  # does not fit
+    codec = ResidentCodec(h, w, 1, np.float32, 0.001, nb_cap=16)
+    blob = codec.encode(jnp.asarray(data))
+    out = np.asarray(codec.decode(blob))
+    assert np.abs(out - data).max() <= 0.001 * 1.1
+    res = decode_blob(blob.to_bytes())
+    assert np.abs(res.data[0] - data).max() <= 0.001 * 1.1
+    if oracle.available():
+        ref = oracle.decode(blob.to_bytes())[0].reshape(h, w, 1)
+        assert np.abs(ref - data).max() <= 0.001 * 1.1

@@ -3,8 +3,11 @@
 block_until_ready does not block on this platform; measurements fetch a
 dependent probe. back-to-back variants (xN) amortize the ~25ms tunnel RTT.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +70,14 @@ def main():
                      header, stream, starts, chain=4)
 
     zmx = jnp.asarray([float(np.asarray(img).max())], np.float32)
-    timeit("  decode_tiles_fast (x4)",
+    timeit("  decode_tiles_fast full (x4)",
            lambda s, st: device_decode.decode_tiles_fast(
                s, st, jnp.float32(MZE), zmx, TILE, TILE, 1, DataType.FLOAT, 6),
+           stream, starts, chain=4)
+    timeit("  decode_tiles_fast nb_cap=16 (x4)",
+           lambda s, st: device_decode.decode_tiles_fast(
+               s, st, jnp.float32(MZE), zmx, TILE, TILE, 1, DataType.FLOAT, 6,
+               nb_cap=16),
            stream, starts, chain=4)
 
     # encode sub-stages at bench shapes
@@ -94,8 +102,11 @@ def main():
 
     q, zmin = timeit("  quantize+fixup (x4)", jax.jit(quantize), xb, chain=4)
     nb = jnp.asarray(rng.integers(8, 15, n_rec).astype(np.int32))
-    timeit("  pack matmul (x4)",
+    timeit("  pack matmul full (x4)",
            jax.jit(lambda cq, nb: device_encode._pack_words(cq, nb, n_rec, 63)),
+           q, nb, chain=4)
+    timeit("  pack matmul grouped (x4)",
+           jax.jit(lambda cq, nb: device_encode._pack_words_grouped(cq, nb, n_rec, 33)),
            q, nb, chain=4)
 
     rec = jnp.asarray(rng.integers(0, 2**31, (n_rec, 67), dtype=np.uint32))
