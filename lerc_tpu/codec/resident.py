@@ -145,15 +145,20 @@ class ResidentCodec:
         else:
             zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
         if blob.starts is not None:
-            # scan-free path: the encoder's record-offset index. Decode
-            # always uses the full-width kernel: the capped/grouped decode
-            # variant showed no single-call gain on TPU and regressed
-            # under vmap batching (decode is gather/roll-bound, not
-            # extraction-bound), so nb_cap only accelerates ENCODE here.
-            img, index_ok, _fits = device_decode.decode_tiles_fast(
+            # scan-free path: the encoder's record-offset index. nb_cap
+            # sizes the extraction for narrow packed widths (pw 33 vs 65:
+            # ~16% faster on v5e); unfit records fall back to the
+            # full-width kernel.
+            img, index_ok, fits = device_decode.decode_tiles_fast(
                 blob.stream, blob.starts, jnp.float32(head.max_z_error),
                 zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
+                nb_cap=self.nb_cap,
             )
+            if self.nb_cap and not bool(fits):
+                img, index_ok, fits = device_decode.decode_tiles_fast(
+                    blob.stream, blob.starts, jnp.float32(head.max_z_error),
+                    zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
+                )
             if not bool(index_ok):
                 raise ValueError("record-offset index inconsistent with stream")
             return img
@@ -296,12 +301,15 @@ class FusedResidentCodec(ResidentCodec):
                     zmax_vec = (acc << shift).astype(jnp.int32) >> shift
                 else:
                     zmax_vec = acc.astype(jnp.int32)
-            # full-width decode kernel: the capped variant regresses under
-            # vmap (see ResidentCodec.decode); encode-side fits is in meta
-            img, index_ok, _fits = device_decode.decode_tiles_fast(
+            # nb_cap-sized extraction (grouped stays off: it regresses
+            # under vmap); unfit records fold into the ok flag -- callers
+            # rebuild on the uncapped variant (encode-side fits in meta
+            # already flags the same condition)
+            img, index_ok, fits = device_decode.decode_tiles_fast(
                 stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver,
+                nb_cap=nb_cap,
             )
-            return img, ok & index_ok
+            return img, ok & index_ok & fits
 
         @jax.jit
         def decode_fused(header, stream):

@@ -25,7 +25,7 @@ BS = MB * MB
 
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "d", "dt", "version", "nb_cap",
-                              "use_grouped", "use_narrow")
+                              "use_grouped")
 )
 def decode_tiles_fast(
     stream,       # [S] uint8 tile-stream bytes, S % 512 == 0
@@ -33,7 +33,7 @@ def decode_tiles_fast(
     max_z_error,  # f32 scalar
     z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
     h: int, w: int, d: int, dt: DataType, version: int, nb_cap: int = 0,
-    use_grouped: bool = False, use_narrow: bool = False,
+    use_grouped: bool = False,
 ):
     """All-valid aligned fast decode. One full-row gather ([2, 128] words
     per record at ~bandwidth) brings each record's bytes into a dense
@@ -48,10 +48,9 @@ def decode_tiles_fast(
     make `fits` False -- the image is then invalid and callers fall back
     to the uncapped variant. fits is always True when the cap covers the
     dtype. use_grouped enables the byte-aligned grouped extraction
-    (8-value groups at nb bits start byte-aligned) and use_narrow the
-    narrowed lane roll; both default OFF: measured on TPU v5e they gave
-    no single-call gain (decode is bound by the row gather + roll, not
-    extraction) and the grouped dot regressed ~2x under vmap batching."""
+    (8-value groups at nb bits start byte-aligned); default OFF: measured
+    on TPU v5e it gave no single-call gain and regressed ~2x under vmap
+    batching."""
     assert h % MB == 0 and w % MB == 0
     is_int = dt < DataType.FLOAT
     np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
@@ -71,28 +70,28 @@ def decode_tiles_fast(
     n_rec = n_blocks * d
     inv_scale = (2.0 * max_z_error).astype(jnp.float32)
 
-    # ---- row-gather the per-record window: [nRec, 256] words from starts
-    u32v2 = jax.lax.bitcast_convert_type(
-        stream.reshape(-1, 4), jnp.uint32
-    ).reshape(-1, 128)
+    # ---- per-record window via overlapping 32-word-stride rows.
+    # A naive [2, 128]-row gather per record reads 1 KB for a ~100 B
+    # record (9x amplification; measured 13 ms of a 23 ms decode on v5e).
+    # Instead materialize V[j] = words[32j : 32j+128] (4x the stream, one
+    # sequential write), so every record's span fits ONE gathered row
+    # (sorted indices) and the lane roll shrinks to 5 static steps over
+    # 128 lanes.
+    assert pw + 4 + 31 <= 128  # record span must fit a 128-word row
+    u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    nq = u32.shape[0] // 32
+    wq = u32.reshape(nq, 32)
+    z32 = jnp.zeros((3, 32), jnp.uint32)
+    wqp = jnp.concatenate([wq, z32], axis=0)
+    v = jnp.concatenate(
+        [wqp[0:nq], wqp[1:nq + 1], wqp[2:nq + 2], wqp[3:nq + 3]], axis=1
+    )  # [nq, 128]
     q = starts >> 2
-    rows_idx = jnp.clip(
-        (q >> 7)[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :],
-        0, u32v2.shape[0] - 1,
-    )
-    winr = u32v2[rows_idx].reshape(n_rec, 256)
-    lane = (q & 127)[:, None]
-    if pw + 4 + 63 <= 128 and use_narrow:
-        # narrowed roll: clear lane bit 6 at full width, then the rest
-        # within one 128-lane row (halves the roll's HBM traffic)
-        winr = jnp.where((lane >> 6) & 1 == 1, jnp.roll(winr, -64, axis=1), winr)
-        winr = winr[:, :128]
-        for b in range(6):
-            winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
-    else:
-        for b in range(7):  # left roll by lane, composed from static rolls
-            winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
-    # winr[:, j] = stream word at word offset (starts >> 2) + j
+    winr = v.at[jnp.clip(q >> 5, 0, nq - 1)].get(indices_are_sorted=True)
+    lane = (q & 31)[:, None]
+    for b in range(5):  # left roll by lane, composed from static rolls
+        winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
+    # winr[:, j] = stream word at word offset (starts >> 2) + j, j < 97
     sb = (starts & 3).astype(jnp.int32)  # byte offset of the record in word 0
 
     def rd_u8(byte_off):  # record byte at dynamic small offset (elementwise)
