@@ -184,10 +184,14 @@ def encode_band_device(
         # fpl lossless float (v6): accepted only when >= 10% smaller than
         # tiling (Lerc2.cpp:322)
         fbytes = _encode_fpl_device(data_dev, h, w, d)
-        if fbytes is not None and len(fbytes) < n_bytes_data * 0.9:
-            image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
-            payload = fbytes
-            n_bytes_data = len(fbytes)
+        if fbytes is not None:
+            # mirror the host encoder (lerc2_encode.py:229): the candidate
+            # size feeds the 16x16 retrial gate even when fpl loses
+            n_bytes_huffman = len(fbytes)
+            if n_bytes_huffman < n_bytes_data * 0.9:
+                image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
+                payload = fbytes
+                n_bytes_data = n_bytes_huffman
 
     # 16x16 micro-block retrial at low bit rates (Lerc2.cpp:333-357): half
     # the per-block header overhead when blocks compress below ~1.5 bpp

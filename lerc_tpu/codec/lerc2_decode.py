@@ -162,7 +162,7 @@ def decode_band(
                     return out
                 raise ValueError("bad huffman mode")
             elif hd.try_huffman_flt() and mode == ImageEncodeMode.DELTA_DELTA_HUFFMAN:
-                from . import fpl
+                from . import fpl_impl as fpl
 
                 fpl.decode_flt(src, pos, out)
                 return out

@@ -9,8 +9,8 @@ follow the reference so compression ratios match; exact blob bytes may
 differ where the reference's choices depend on unspecified tie-breaking
 (Huffman tree ties), which never affects decodability.
 
-Not yet implemented: per-depth diff encoding for int lossless nDepth > 1
-(v5+ size optimization; blobs stay valid without it).
+Per-depth diff encoding (int lossless nDepth > 1, v5+) is implemented in
+_write_tiles' depth-diff candidate (Lerc2.cpp:1803-1945 semantics).
 """
 from __future__ import annotations
 

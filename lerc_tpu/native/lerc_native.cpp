@@ -238,49 +238,49 @@ int64_t lerc_huffman_decode(
 }
 
 // ---------------------------------------------------------------------------
-// RLE codec (mask sections), reference-exact greedy (RLE.cpp)
+// RLE codec (mask sections). Run-segmentation formulation of the wire's
+// greedy rules, mirroring the Python codec in lerc_tpu/codec/rle.py: a
+// maximal equal-byte run becomes a repeat segment iff it spans >= 5 bytes
+// AND starts with lookahead room (start + 5 < n); bytes between repeat
+// segments form one literal stretch; counts chunk at +/-32767; int16
+// -32768 terminates the stream. Byte-identical to the reference encoder
+// (verified against the oracle in tests/test_format_core.py).
 int64_t lerc_rle_compress(const uint8_t* src, int64_t n, uint8_t* dst) {
   if (n <= 0) return -1;
-  const int MINE = 5;
-  uint8_t* cnt_ptr = dst;
-  uint8_t* out = dst + 2;
-  int64_t cnt_odd = 0, cnt_even = 0, i = 0;
-  bool odd = true;
-  auto write_count = [&](int16_t c) {
-    memcpy(cnt_ptr, &c, 2);
-    cnt_ptr = out;
-    out += 2;
-  };
-  while (i < n - 1) {
-    if (src[i] != src[i + 1]) {
-      if (odd) { *out++ = src[i]; cnt_odd++; }
-      else { *out++ = src[i]; cnt_even++; write_count((int16_t)-cnt_even); odd = true; cnt_odd = cnt_even = 0; }
-    } else {
-      if (!odd) cnt_even++;
-      else {
-        bool enough = false;
-        if (i + MINE < n) {
-          int k = 1;
-          while (k < MINE && src[i + k] == src[i]) k++;
-          enough = k >= MINE;
-        }
-        if (!enough) { *out++ = src[i]; cnt_odd++; }
-        else {
-          if (cnt_odd > 0) write_count((int16_t)cnt_odd);
-          odd = false; cnt_odd = 0; cnt_even = 1;
-        }
-      }
+  const int64_t kMinRepeat = 5, kCap = 32767;
+  uint8_t* out = dst;
+  auto put_count = [&](int16_t c) { memcpy(out, &c, 2); out += 2; };
+
+  int64_t lit_from = 0;  // start of the pending literal stretch
+  auto flush_literal = [&](int64_t end) {
+    for (int64_t p = lit_from; p < end;) {
+      int64_t take = (end - p < kCap) ? end - p : kCap;
+      put_count((int16_t)take);
+      memcpy(out, src + p, (size_t)take);
+      out += take;
+      p += take;
     }
-    if (cnt_odd == 32767) { write_count(32767); cnt_odd = 0; }
-    if (cnt_even == 32767) { *out++ = src[i]; write_count(-32767); cnt_even = 0; }
-    i++;
+  };
+
+  for (int64_t i = 0; i < n;) {
+    int64_t run = 1;
+    while (i + run < n && src[i + run] == src[i]) run++;
+    if (run >= kMinRepeat && i + kMinRepeat < n) {
+      flush_literal(i);
+      int64_t left = run;
+      for (; left > kCap; left -= kCap) {
+        put_count((int16_t)-kCap);
+        *out++ = src[i];
+      }
+      put_count((int16_t)-left);
+      *out++ = src[i];
+      lit_from = i + run;
+    }
+    i += run;
   }
-  *out++ = src[n - 1];
-  if (odd) { cnt_odd++; write_count((int16_t)cnt_odd); }
-  else { cnt_even++; write_count((int16_t)-cnt_even); }
-  int16_t eof = -32768;
-  memcpy(cnt_ptr, &eof, 2);
-  return (out - dst);
+  flush_literal(n);
+  put_count((int16_t)-32768);
+  return out - dst;
 }
 
 int64_t lerc_rle_decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
@@ -307,23 +307,30 @@ int64_t lerc_rle_decompress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Fletcher32 checksum (Lerc2 flavor: byte pairs big-endian, init 0xffff,
-// fold every 359 words) -- the host-side hot loop of blob assembly.
-extern "C" uint32_t lerc_fletcher32(const uint8_t* p, int64_t len) {
-  uint32_t sum1 = 0xffff, sum2 = 0xffff;
-  int64_t words = len / 2;
-  while (words) {
-    int64_t tlen = words >= 359 ? 359 : words;
-    words -= tlen;
-    do {
-      sum1 += (uint32_t)(*p++) << 8;
-      sum2 += sum1 += *p++;
-    } while (--tlen);
-    sum1 = (sum1 & 0xffff) + (sum1 >> 16);
-    sum2 = (sum2 & 0xffff) + (sum2 >> 16);
+// Fletcher32 checksum, Lerc2 wire flavor: the message is read as big-endian
+// 16-bit words (an odd trailing byte acts as b << 8), both running sums are
+// seeded with 0xffff, and a single mod-65535 fold happens after every block
+// of 359 words (the largest count that cannot overflow 32-bit accumulators)
+// plus once at the end. Must be bit-identical to the reference checksum for
+// interop; only the word/fold schedule above is wire-relevant.
+extern "C" uint32_t lerc_fletcher32(const uint8_t* data, int64_t len) {
+  uint64_t lo = 0xffff, hi = 0xffff;
+  const int64_t kFoldEvery = 359;
+  int64_t n_words = len >> 1;
+  for (int64_t w = 0; w < n_words;) {
+    int64_t stop = (n_words - w > kFoldEvery) ? w + kFoldEvery : n_words;
+    for (; w < stop; ++w) {
+      lo += ((uint32_t)data[2 * w] << 8) | data[2 * w + 1];
+      hi += lo;
+    }
+    lo = (lo & 0xffff) + (lo >> 16);
+    hi = (hi & 0xffff) + (hi >> 16);
   }
-  if (len & 1) sum2 += sum1 += (uint32_t)(*p) << 8;
-  sum1 = (sum1 & 0xffff) + (sum1 >> 16);
-  sum2 = (sum2 & 0xffff) + (sum2 >> 16);
-  return (sum2 << 16) | sum1;
+  if (len & 1) {
+    lo += (uint32_t)data[len - 1] << 8;
+    hi += lo;
+  }
+  lo = (lo & 0xffff) + (lo >> 16);
+  hi = (hi & 0xffff) + (hi >> 16);
+  return (uint32_t)((hi << 16) | lo);
 }

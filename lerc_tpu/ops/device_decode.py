@@ -305,11 +305,18 @@ def decode_tiles_fast(
                   jnp.where(mode == 0, 1 + BS * size_t,
                             1 + off_w + 1 + cw + stuff_bytes)),
     )
-    is_lut_rec = (nbb & 32) > 0
-    nxt = jnp.concatenate([starts[1:], starts[:1] * 0 - 1])  # last unchecked
+    # A record with the LUT bit set is a hard failure here: this fast path
+    # has no LUT decode and the feeding encoders never emit LUT records, so
+    # a parsed LUT bit means the index points at bytes that are not the
+    # records it claims (or the stream was tampered with).
+    is_lut_rec = ((nbb & 32) > 0) & (mode == 1)
+    nxt = jnp.concatenate([starts[1:], starts[:1]])
     deltas = nxt - starts
-    ok_rec = (deltas == length) | is_lut_rec | (deltas < 0)
-    index_ok = ok_rec.all()
+    # only the final record is exempt from the delta check (it has no
+    # successor); every other mismatch -- including backward jumps -- fails
+    is_last = jnp.arange(n_rec, dtype=jnp.int32) == n_rec - 1
+    ok_rec = (deltas == length) | is_last
+    index_ok = ok_rec.all() & ~is_lut_rec.any()
     if always_fits:
         fits = jnp.bool_(True)
     else:

@@ -161,7 +161,10 @@ def encode_tiles_f64(
         qp_h, qp_l = ds_mul(dx_h, dx_l, scale_h, scale_l)
         q0 = jnp.round(qp_h)  # f32; may be off near halves for big q
         q0 = q0 + jnp.round(qp_h - q0 + qp_l)  # fold the ds tail
-        q0 = jnp.clip(q0, 0.0, 2.0**31)
+        # clip BEFORE the int32 cast: 2^31 does not fit int32 and XLA's
+        # f32->i32 conversion of out-of-range values is unspecified; the
+        # refinement below re-clips to the 2^30 quantization cap anyway
+        q0 = jnp.clip(q0, 0.0, 2.0**30)
         qi = q0.astype(jnp.int32)
 
         def resid(qi_):
@@ -200,9 +203,12 @@ def encode_tiles_f64(
 
         # mode selection: const0 / stuff / const-offset / raw
         is_const0 = (cnt == 0) | ((zmin_h == 0) & (zmin_l == 0) & (x_h == 0) & (x_l == 0))
-        # force raw when the quantized range exceeds the 2^30-1 cap
-        rng_h, _ = ds_add(x_h, x_l, -zmin_h, -zmin_l)
-        force_raw = rng_h * scale_h > float((1 << 30) - 1)
+        # force raw when the quantized range exceeds the 2^30-1 cap; the
+        # range test runs in double-single so blocks just over the cap do
+        # not slip through on hi-part-only rounding and clip their quanta
+        rng_h, rng_l = ds_add(x_h, x_l, -zmin_h, -zmin_l)
+        rq_h, _rq_l = ds_mul(rng_h, rng_l, scale_h, scale_l)
+        force_raw = rq_h > float((1 << 30) - 1)
 
         stuff_bytes = (cnt * nb + 7) // 8
         stuff_len = 1 + 8 + jnp.where(max_q > 0, 2 + stuff_bytes, 0)

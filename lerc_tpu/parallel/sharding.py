@@ -284,6 +284,15 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
         if stream_offs[t] >= 0 and hd.num_valid_pixel == tile_h * tile_w
         and tile_h % 8 == 0 and tile_w % 8 == 0
     ]
+    # the host fallback (decode_blob) verifies each blob's Fletcher32; the
+    # device fast path must too, or a payload bit flip that preserves
+    # record lengths decodes to silently wrong pixels from file input
+    for t in dev_ok:
+        hd = heads[t]
+        if hd.version >= 3:
+            skip = hdr_mod.checksum_skip(hd.version)
+            if fletcher32.fletcher32(views[t][skip : hd.blob_size]) != hd.checksum:
+                raise ValueError(f"mosaic tile {t}: Lerc2 checksum mismatch")
     out = None
     d = heads[0].n_depth
     np_dt = DT_TO_NUMPY[heads[0].dt]
