@@ -61,6 +61,16 @@ class ResidentCodec:
         self.n_rec = n_rec
         raw = h * w * DT_SIZE[self.dt] * d + n_rec * 12 + 4096
         self.cap = -(-raw // 1024) * 1024  # exact bound; all per-byte work is O(cap)
+        self.cap_full = self.cap  # uncapped-fallback capacity
+        if self.nb_cap:
+            # under a bit-width cap raw records are impossible (they flip
+            # the fits flag), so the worst record is the capped stuff
+            # record: flag + 4B offset + numBits + count + bs*nb_cap/8
+            # payload. A tight capacity halves every O(cap) pass
+            # (fletcher32, window materialization, assembly combine).
+            per_rec = 1 + 4 + 1 + 2 + (64 * min(self.nb_cap, 8 * DT_SIZE[self.dt]) + 7) // 8
+            tight = n_rec * per_rec + 4096
+            self.cap = min(self.cap, -(-tight // 1024) * 1024)
         self._ones = jnp.ones((h, w), bool)
         self._try_huffman = hdr.HeaderInfo(
             version=version, dt=self.dt, max_z_error=self.mze
@@ -79,7 +89,7 @@ class ResidentCodec:
         if self.nb_cap and not bool(fits):
             stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
                 data_dev, self._ones, jnp.float32(self.mze),
-                self.h, self.w, self.d, self.dt, True, self.version, self.cap,
+                self.h, self.w, self.d, self.dt, True, self.version, self.cap_full,
             )
         total_i = int(total)
         zmin_vec = np.asarray(zmin_vec, dtype=np.float64)

@@ -24,8 +24,7 @@ BS = MB * MB
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "d", "dt", "version", "nb_cap",
-                              "use_grouped")
+    jax.jit, static_argnames=("h", "w", "d", "dt", "version", "nb_cap")
 )
 def decode_tiles_fast(
     stream,       # [S] uint8 tile-stream bytes, S % 512 == 0
@@ -33,24 +32,20 @@ def decode_tiles_fast(
     max_z_error,  # f32 scalar
     z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
     h: int, w: int, d: int, dt: DataType, version: int, nb_cap: int = 0,
-    use_grouped: bool = False,
 ):
-    """All-valid aligned fast decode. One full-row gather ([2, 128] words
-    per record at ~bandwidth) brings each record's bytes into a dense
-    window; header parse, payload alignment and value extraction are then
-    elementwise (dynamic lane roll composed from static rolls, one-hot MXU
-    matmuls). Returns (img [H, W, D] native dtype, index_ok, fits).
-    Requires H, W multiples of 8, no mask, no LUT records (what our
-    device encoder emits).
+    """All-valid aligned fast decode. One sorted row gather per record
+    (over overlapping stride-S window rows) brings each record's bytes
+    into a dense window; header parse, payload alignment and value
+    extraction are then elementwise (dynamic lane roll composed from
+    static rolls, static-per-nb extraction chain). Returns
+    (img [H, W, D] native dtype, index_ok, fits). Requires H, W multiples
+    of 8, no mask, no LUT records (what our device encoder emits).
 
     nb_cap > 0 statically caps the bit width the kernel is sized for.
     Records wider than the cap (or 4-byte raw records under a <32 cap)
     make `fits` False -- the image is then invalid and callers fall back
     to the uncapped variant. fits is always True when the cap covers the
-    dtype. use_grouped enables the byte-aligned grouped extraction
-    (8-value groups at nb bits start byte-aligned); default OFF: measured
-    on TPU v5e it gave no single-call gain and regressed ~2x under vmap
-    batching."""
+    dtype."""
     assert h % MB == 0 and w % MB == 0
     is_int = dt < DataType.FLOAT
     np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
@@ -60,38 +55,37 @@ def decode_tiles_fast(
     size_t = np.dtype(np_out).itemsize
     max_nb = {1: 8, 2: 16, 4: 32}[size_t]
     eff_cap = max_nb if nb_cap <= 0 else min(nb_cap, max_nb)
-    grouped = eff_cap <= 16 and use_grouped
     always_fits = eff_cap >= max_nb
     pw = (BS * eff_cap + 31) // 32 + 1
-    assert pw + 3 + 127 <= 256  # record window spans at most 2 rows
 
     nbv, nbh = h // MB, w // MB
     n_blocks = nbv * nbh
     n_rec = n_blocks * d
     inv_scale = (2.0 * max_z_error).astype(jnp.float32)
 
-    # ---- per-record window via overlapping 32-word-stride rows.
+    # ---- per-record window via overlapping stride-S rows.
     # A naive [2, 128]-row gather per record reads 1 KB for a ~100 B
     # record (9x amplification; measured 13 ms of a 23 ms decode on v5e).
-    # Instead materialize V[j] = words[32j : 32j+128] (4x the stream, one
-    # sequential write), so every record's span fits ONE gathered row
-    # (sorted indices) and the lane roll shrinks to 5 static steps over
-    # 128 lanes.
-    assert pw + 4 + 31 <= 128  # record span must fit a 128-word row
+    # Instead materialize V[j] = words[S*j : S*j+128] (128/S x the stream,
+    # one sequential write), so every record's span fits ONE gathered row
+    # (sorted indices) and the lane roll is log2(S) static steps over 128
+    # lanes. The largest stride whose window still covers a record span
+    # minimizes the materialization traffic.
+    sw = 64 if pw + 4 + 63 <= 128 else 32
+    assert pw + 4 + (sw - 1) <= 128  # record span must fit a 128-word row
+    swb = sw.bit_length() - 1
     u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
-    nq = u32.shape[0] // 32
-    wq = u32.reshape(nq, 32)
-    z32 = jnp.zeros((3, 32), jnp.uint32)
-    wqp = jnp.concatenate([wq, z32], axis=0)
-    v = jnp.concatenate(
-        [wqp[0:nq], wqp[1:nq + 1], wqp[2:nq + 2], wqp[3:nq + 3]], axis=1
-    )  # [nq, 128]
+    nq = u32.shape[0] // sw
+    wq = u32.reshape(nq, sw)
+    n_k = 128 // sw
+    wqp = jnp.concatenate([wq, jnp.zeros((n_k - 1, sw), jnp.uint32)], axis=0)
+    v = jnp.concatenate([wqp[k : nq + k] for k in range(n_k)], axis=1)  # [nq, 128]
     q = starts >> 2
-    winr = v.at[jnp.clip(q >> 5, 0, nq - 1)].get(indices_are_sorted=True)
-    lane = (q & 31)[:, None]
-    for b in range(5):  # left roll by lane, composed from static rolls
+    winr = v.at[jnp.clip(q >> swb, 0, nq - 1)].get(indices_are_sorted=True)
+    lane = (q & (sw - 1))[:, None]
+    for b in range(swb):  # left roll by lane, composed from static rolls
         winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
-    # winr[:, j] = stream word at word offset (starts >> 2) + j, j < 97
+    # winr[:, j] = stream word at word offset (starts >> 2) + j
     sb = (starts & 3).astype(jnp.int32)  # byte offset of the record in word 0
 
     def rd_u8(byte_off):  # record byte at dynamic small offset (elementwise)
@@ -170,73 +164,41 @@ def decode_tiles_fast(
     )  # [nRec, pw] payload words, LSB-first bitstream
 
     # unified bit extraction: stuff uses nb bits/value, raw uses the native
-    # width; const modes are patched afterwards
+    # width; const modes are patched afterwards. Extraction is a
+    # static-per-nb select chain: eff_nb has <= eff_cap distinct values,
+    # and for a FIXED nb every value's word index and shift are
+    # compile-time constants, so each variant is elementwise slices +
+    # shifts and the variants fuse into one pass over the windows
+    # (measured 2.3x faster than the one-hot MXU dot on v5e, with no bf16
+    # conversion traffic).
     eff_nb = jnp.where(mode == 0, 8 * size_t, nb)
-    nb_u = eff_nb[:, None].astype(jnp.uint32)
-    mask_bits = jnp.where(
-        nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)
-    )
-    if grouped:
-        # byte-aligned grouped extraction: 8 values at nb bits are exactly
-        # nb bytes, so group g starts at byte g*nb. Route only the BS/8
-        # group containers through the one-hot MXU matmul (8x fewer rows),
-        # then unpack each 128-bit container elementwise.
-        ng = BS // 8
-        g = jnp.arange(ng, dtype=jnp.int32)[None, :]
-        byte_off = g * eff_nb[:, None]                    # [nRec, ng]
-        w0i = byte_off >> 2
-        ph = byte_off & 3
-        wr = jnp.arange(pw, dtype=jnp.int32)
-        oh = (w0i[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
-        winx = jnp.concatenate([win, jnp.zeros((n_rec, 4), jnp.uint32)], axis=1)
-        lanes = jnp.stack(
-            [((winx[:, k:k + pw] >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
-             for k in range(5) for b in range(4)], axis=2)  # [nRec, pw, 20]
-        s = jax.lax.dot_general(
-            oh, lanes, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.uint32)                              # [nRec, ng, 20]
-        c5 = []
-        for k in range(5):
-            wk = jnp.zeros((n_rec, ng), jnp.uint32)
-            for b in range(4):
-                wk = wk | (s[:, :, 4 * k + b] << (8 * b))
-            c5.append(wk)
-        cw5 = jnp.stack(c5, axis=-1)                      # [nRec, ng, 5]
-
-        def rsh(k):  # drop the k-byte phase: container bytes from byte k
-            if k == 0:
-                return cw5[..., 0:4]
-            s_ = jnp.uint32(8 * k)
-            return (cw5[..., 0:4] >> s_) | (cw5[..., 1:5] << (jnp.uint32(32) - s_))
-
-        cont = rsh(0)
-        for k in (1, 2, 3):
-            cont = jnp.where((ph == k)[..., None], rsh(k), cont)  # [nRec, ng, 4]
-        contx = jnp.concatenate([cont, jnp.zeros_like(cont[..., :1])], axis=-1)
-        vals = []
-        for j in range(8):  # value j of each group at bit j*nb (< 128)
-            bit = j * eff_nb[:, None]                     # [nRec, 1]
-            wj = bit >> 5
-            shj = (bit & 31).astype(jnp.uint32)
-            w_lo = contx[..., 0]
-            w_hi = contx[..., 1]
-            for t_ in (1, 2, 3):
-                m = wj == t_
-                w_lo = jnp.where(m, contx[..., t_], w_lo)
-                w_hi = jnp.where(m, contx[..., t_ + 1], w_hi)
-            v = (w_lo >> shj) | jnp.where(shj > 0, w_hi << (jnp.uint32(32) - shj), 0)
-            vals.append(v & mask_bits)
-        val = jnp.stack(vals, axis=-1).reshape(n_rec, BS)
+    if 0 < nb_cap <= 16:
+        # explicit narrow cap (production hot path): static chain; see the
+        # encode-side note on the compile-time tradeoff
+        winx = jnp.concatenate([win, jnp.zeros((n_rec, 1), jnp.uint32)], axis=1)
+        val = jnp.zeros((n_rec, BS), jnp.uint32)
+        for nbx in range(1, eff_cap + 1):
+            maskv = jnp.uint32((1 << nbx) - 1)
+            vals = []
+            for j in range(BS):
+                c = (j * nbx) >> 5
+                s_ = (j * nbx) & 31
+                t = winx[:, c] >> jnp.uint32(s_)
+                if s_ and s_ + nbx > 32:
+                    t = t | (winx[:, c + 1] << jnp.uint32(32 - s_))
+                vals.append(t & maskv)
+            cand = jnp.stack(vals, axis=1)
+            val = jnp.where(eff_nb[:, None] == nbx, cand, val)
     else:
+        # wide fallback (nb up to 31 + 4-byte raw): one-hot MXU routing --
+        # a 31-variant static chain blows up compile time
+        nb_u = eff_nb[:, None].astype(jnp.uint32)
+        mask_bits = jnp.where(
+            nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)
+        )
         bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * eff_nb[:, None]
         m_idx = bitpos >> 5
         sh = (bitpos & 31).astype(jnp.uint32)
-
-        # per-record word selection as ONE batched one-hot MXU matmul over
-        # the 4 byte lanes of win and of win-shifted-one-word (exact:
-        # lanes <= 255, one-hot rows sum to 1); ~100x faster than XLA row
-        # gathers
         wr = jnp.arange(pw, dtype=jnp.int32)
         oh = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
         win_n = jnp.concatenate(  # win shifted one word (the m_idx+1 selection)

@@ -189,12 +189,15 @@ def _fold65535(x):
 
 def _sum65535(x):
     """Hierarchical exact sum mod 65535 of uint32 entries (< 65535 each),
-    division-free: fold -> 64-way tree sums stay below 2^22."""
+    division-free: fold -> 64-way tree sums stay below 2^22. Reduction
+    runs along the MAJOR axis (reshape (64, -1), sum axis 0) so lanes stay
+    fully populated; reducing 64-wide minor rows pads every row to the
+    128-lane tile and relayouts at each tree level."""
     while x.size > 64:
         pad = (-x.size) % 64
         if pad:
             x = jnp.concatenate([x, jnp.zeros(pad, jnp.uint32)])
-        x = _fold65535(x.reshape(-1, 64).sum(axis=1))
+        x = _fold65535(x.reshape(64, -1).sum(axis=0))
     return _fold65535(x.sum())
 
 
