@@ -46,6 +46,7 @@ def encode_band_device(
     encode_mask: bool = True,
     n_blobs_more: int = 0,
     verify: bool = False,
+    return_index: bool = False,
 ) -> bytes:
     np_dtype = np.dtype(data.dtype)
     dt = NUMPY_TO_DT[np_dtype]
@@ -169,6 +170,7 @@ def encode_band_device(
 
     # whole-image Huffman candidate (8-bit types, lossless): device
     # histogram + symbol packing, host tree build (256 symbols)
+    huffman_sbits = None
     if head.try_huffman_int():
         hm = _encode_huffman_device(
             data_dev, h, w, d, dt, version,
@@ -177,7 +179,7 @@ def encode_band_device(
         if hm is not None:
             n_bytes_huffman = len(hm[1])
             if n_bytes_huffman < n_bytes_data:
-                image_mode, hbytes = hm
+                image_mode, hbytes, huffman_sbits = hm
                 payload = hbytes
                 n_bytes_data = n_bytes_huffman
     elif head.try_huffman_flt() and dt == DataType.FLOAT:
@@ -216,6 +218,8 @@ def encode_band_device(
 
     if n_one_sweep <= n_bytes_data + (1 if try_huffman else 0):
         body = b"\x01" + np.asarray(data)[mask_np].astype(np_dt).tobytes()
+        image_mode = ImageEncodeMode.TILING
+        huffman_sbits = None
     else:
         body = b"\x00"
         if try_huffman:
@@ -224,6 +228,12 @@ def encode_band_device(
     blob = assemble(ranges, body)
     if verify:
         _verify_device_encode(blob, np.asarray(data), mask_np, mze, dt)
+    if return_index:
+        index = None
+        if (image_mode in (ImageEncodeMode.HUFFMAN, ImageEncodeMode.DELTA_HUFFMAN)
+                and huffman_sbits is not None):
+            index = {"huffman_sbits": np.asarray(huffman_sbits).astype(np.int32)}
+        return blob, index
     return blob
 
 
@@ -296,7 +306,7 @@ def _encode_fpl_device(data_dev, h, w, d):
                    if p >= (device_huffman.GROUP * max_len_all + 31) // 32 + 1)
         need = max(4 * (-(-tb // 32) + 1) for tb in total_bits)
         cap = 1 << max(12, (need + 511).bit_length())
-        streams, _tbs = device_fpl.fpl_pack_planes_device(
+        streams, _tbs, _sbits = device_fpl.fpl_pack_planes_device(
             planes, jnp.asarray(lens_codes), cap, pwh
         )
         streams = np.asarray(streams)
@@ -382,20 +392,62 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
     max_len = int(lengths.max())
     pwh = next(p for p in (18, 34, 66) if p >= (device_huffman.GROUP * max_len + 31) // 32 + 1)
     cap = 1 << max(12, (stream_bytes + 512 - 1).bit_length())
-    stream, tb = device_huffman.encode_stream_device(
+    stream, tb, sbits = device_huffman.encode_stream_device(
         syms, jnp.asarray(lens_codes), cap, pwh, live=live
     )
     assert int(tb) == total_bits
-    return mode, table + np.asarray(stream)[:stream_bytes].tobytes()
+    return mode, table + np.asarray(stream)[:stream_bytes].tobytes(), sbits
+
+
+def _decode_huffman_band_device(src, pos, head, mode, sbits):
+    """Device-parallel whole-image Huffman decode (8-bit, all-valid) via
+    the encoder's per-group bit-offset sidecar. The code table is parsed
+    from the WIRE (never trusted from the sidecar); the sidecar offsets
+    are cross-checked on device against the decoded code lengths.
+    Returns [H, W, D] or None when the table is unusable."""
+    from . import huffman as huff
+
+    lengths, codes, used = huff.read_code_table(src[pos:], head.version)
+    pos += used
+    h, w, d = head.n_rows, head.n_cols, head.n_depth
+    n = h * w * d
+    max_len = int(lengths.max(initial=0))
+    sbits = np.asarray(sbits, dtype=np.int32)
+    if max_len == 0 or sbits.shape[0] != -(-n // device_huffman.GROUP):
+        return None
+    consts, sorted_syms = device_huffman.canonical_decode_consts(lengths, codes)
+    stream_np = np.frombuffer(src[pos : head.blob_size], dtype=np.uint8)
+    cap = -(-max(stream_np.size, 512) // 512) * 512
+    sp = np.zeros(cap, np.uint8)
+    sp[: stream_np.size] = stream_np
+    lanes = np.zeros((16, 16, 1), np.float32)
+    lanes[:, :, 0] = sorted_syms.reshape(16, 16)
+    syms, _used_bits, ok = device_huffman.decode_stream_device(
+        jnp.asarray(sp), jnp.asarray(sbits), jnp.asarray(consts),
+        jnp.asarray(lanes), n, max_len,
+    )
+    if not bool(ok):
+        raise ValueError("Huffman sidecar inconsistent with stream")
+    return device_huffman.symbols_to_image(
+        syms, h, w, d, head.dt, delta=(mode == ImageEncodeMode.DELTA_HUFFMAN)
+    )
 
 
 def decode_band_device(
     buf: bytes | memoryview,
     prev_mask: np.ndarray | None = None,
     verify_checksum: bool = True,
+    index: dict | None = None,
 ):
     """Decode a single band using the native scanner + device kernels.
-    Returns DecodedBand or None if this blob needs the host path."""
+    Returns DecodedBand or None if this blob needs the host path.
+
+    index: optional acceleration metadata from encode_band_device
+    (return_index=True). "huffman_sbits" (per-64-symbol-group bit
+    offsets) enables device-parallel Huffman decode of 8-bit whole-image
+    blobs; the sidecar is validated against the decoded code lengths, so
+    a stale/tampered index raises instead of decoding garbage. Foreign
+    blobs (no sidecar) take the native host Huffman path."""
     if not native.available():
         return None
     src = memoryview(buf)
@@ -460,7 +512,16 @@ def decode_band_device(
         flag = src[pos]
         pos += 1
         if flag != 0:
-            return None  # huffman / fpl -> host path
+            if (index is not None and index.get("huffman_sbits") is not None
+                    and head.try_huffman_int() and flag in (1, 2)
+                    and head.num_valid_pixel == h * w):
+                img = _decode_huffman_band_device(
+                    src, pos, head, ImageEncodeMode(flag), index["huffman_sbits"]
+                )
+                if img is not None:
+                    out.data = np.asarray(img)
+                    return out
+            return None  # huffman / fpl / masked-huffman -> host path
 
     # native record scan over the tile stream
     nbv, nbh = -(-h // 8), -(-w // 8)

@@ -42,7 +42,7 @@ class ResidentBlob:
 class ResidentCodec:
     def __init__(self, h: int, w: int, d: int = 1, dtype=np.float32,
                  max_z_error: float = 0.001, version: int = 6,
-                 nb_cap: int = 0):
+                 nb_cap: int = 0, mask: np.ndarray | None = None):
         self.h, self.w, self.d = h, w, d
         # nb_cap <= 16 selects the cheaper byte-aligned grouped kernels,
         # sized for packed widths <= nb_cap; blocks needing more trigger a
@@ -72,6 +72,32 @@ class ResidentCodec:
             tight = n_rec * per_rec + 4096
             self.cap = min(self.cap, -(-tight // 1024) * 1024)
         self._ones = jnp.ones((h, w), bool)
+        if mask is not None:
+            self.mask_np = np.ascontiguousarray(mask, dtype=bool)
+            if self.mask_np.shape != (h, w):
+                raise ValueError("mask shape mismatch")
+            self.num_valid = int(self.mask_np.sum())
+            if not 0 < self.num_valid:
+                raise ValueError("resident codec requires >= 1 valid pixel")
+            self._mask_dev = jnp.asarray(self.mask_np)
+            if self.num_valid < h * w:
+                from .. import native
+                from . import rle
+                from .bitmask import bool_to_bits
+
+                bits = bool_to_bits(self.mask_np)
+                mask_rle = (native.rle_compress(bits) if native.available()
+                            else rle.compress(bits))
+                self._mask_section = struct.pack("<i", len(mask_rle)) + mask_rle
+            else:  # fully-valid mask: same wire as no mask
+                self._mask_dev = None
+                self.mask_np = None
+                self._mask_section = struct.pack("<i", 0)
+        else:
+            self.mask_np = None
+            self._mask_dev = None
+            self.num_valid = h * w
+            self._mask_section = struct.pack("<i", 0)
         self._try_huffman = hdr.HeaderInfo(
             version=version, dt=self.dt, max_z_error=self.mze
         ).try_huffman_int() or hdr.HeaderInfo(
@@ -81,26 +107,28 @@ class ResidentCodec:
     # ---- encode -----------------------------------------------------------
 
     def encode(self, data_dev: jax.Array) -> ResidentBlob:
+        all_valid = self._mask_dev is None
+        mask_arg = self._ones if all_valid else self._mask_dev
         stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
-            data_dev, self._ones, jnp.float32(self.mze),
-            self.h, self.w, self.d, self.dt, True, self.version, self.cap,
+            data_dev, mask_arg, jnp.float32(self.mze),
+            self.h, self.w, self.d, self.dt, all_valid, self.version, self.cap,
             nb_cap=self.nb_cap,
         )
         if self.nb_cap and not bool(fits):
             stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
-                data_dev, self._ones, jnp.float32(self.mze),
-                self.h, self.w, self.d, self.dt, True, self.version, self.cap_full,
+                data_dev, mask_arg, jnp.float32(self.mze),
+                self.h, self.w, self.d, self.dt, all_valid, self.version, self.cap_full,
             )
         total_i = int(total)
         zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
         zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
         head = hdr.HeaderInfo(
             version=self.version, n_rows=self.h, n_cols=self.w, n_depth=self.d,
-            num_valid_pixel=self.h * self.w, micro_block_size=8, dt=self.dt,
+            num_valid_pixel=self.num_valid, micro_block_size=8, dt=self.dt,
             max_z_error=self.mze, z_min=float(zmin_vec.min()), z_max=float(zmax_vec.max()),
         )
         np_dt = DT_TO_NUMPY[self.dt]
-        mask_section = struct.pack("<i", 0)
+        mask_section = self._mask_section
         ranges = b""
         flags = b""
         if head.z_min != head.z_max:
@@ -138,7 +166,8 @@ class ResidentCodec:
             if computed != head.checksum:
                 raise ValueError("Lerc2 checksum mismatch")
         # parse the tiny host sections
-        pos += 4  # mask section length (0: all valid)
+        mlen = struct.unpack_from("<i", blob.header, pos)[0]
+        pos += 4 + max(mlen, 0)  # mask section (0: all valid / reuse)
         np_dt = DT_TO_NUMPY[head.dt]
         d = head.n_depth
         if head.z_min == head.z_max:
@@ -154,6 +183,10 @@ class ResidentCodec:
             zmax_arg = jnp.asarray(np.round(z_max_vec).astype(np.int32))
         else:
             zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
+        if blob.starts is None and self._mask_dev is not None:
+            raise ValueError(
+                "masked resident decode requires the record-offset index"
+            )
         if blob.starts is not None:
             # scan-free path: the encoder's record-offset index. nb_cap
             # sizes the extraction for narrow packed widths (pw 33 vs 65:
@@ -162,12 +195,13 @@ class ResidentCodec:
             img, index_ok, fits = device_decode.decode_tiles_fast(
                 blob.stream, blob.starts, jnp.float32(head.max_z_error),
                 zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
-                nb_cap=self.nb_cap,
+                nb_cap=self.nb_cap, mask=self._mask_dev,
             )
             if self.nb_cap and not bool(fits):
                 img, index_ok, fits = device_decode.decode_tiles_fast(
                     blob.stream, blob.starts, jnp.float32(head.max_z_error),
                     zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
+                    mask=self._mask_dev,
                 )
             if not bool(index_ok):
                 raise ValueError("record-offset index inconsistent with stream")
@@ -177,11 +211,13 @@ class ResidentCodec:
                 blob.stream, self.n_rec, head.dt, head.version, 64
             )
         )
+        all_valid = self._mask_dev is None
         return device_decode.decode_tiles(
             blob.stream, mode, payload_pos, offset, r_nb, r_ne,
             lut_pos, r_nlut, r_nbits_lut,
-            self._ones, jnp.float32(head.max_z_error), zmax_arg,
-            head.n_rows, head.n_cols, d, head.dt, True, False,
+            self._ones if all_valid else self._mask_dev,
+            jnp.float32(head.max_z_error), zmax_arg,
+            head.n_rows, head.n_cols, d, head.dt, all_valid, False,
         )
 
 
@@ -205,11 +241,11 @@ class FusedResidentCodec(ResidentCodec):
         # static header template with dynamic fields zeroed
         head = hdr.HeaderInfo(
             version=self.version, n_rows=self.h, n_cols=self.w, n_depth=self.d,
-            num_valid_pixel=self.h * self.w, micro_block_size=8, dt=self.dt,
+            num_valid_pixel=self.num_valid, micro_block_size=8, dt=self.dt,
             max_z_error=self.mze,
         )
         template = bytearray(hdr.write_header(head))
-        template += struct.pack("<i", 0)  # mask section: all valid
+        template += self._mask_section  # RLE'd bitmask (empty: all valid)
         self._ranges_off = len(template)
         np_dt = DT_TO_NUMPY[self.dt]
         template += b"\x00" * (2 * self.d * DT_SIZE[self.dt])  # ranges
@@ -230,6 +266,9 @@ class FusedResidentCodec(ResidentCodec):
         ranges_off, zmin_off, bs_off = self._ranges_off, self._zmin_off, self._blob_size_off
         n_rec = self.n_rec
         ones = self._ones
+        mask_dev = self._mask_dev
+        all_valid = mask_dev is None
+        mask_arr = ones if all_valid else mask_dev
         is_int = dt_is_int(dt_)
 
         def _u32_bytes(word):
@@ -240,8 +279,8 @@ class FusedResidentCodec(ResidentCodec):
         @jax.jit
         def encode_fused(data_dev):
             stream, total, zminv, zmaxv, starts, fits = device_encode.encode_tiles(
-                data_dev, ones, jnp.float32(mze), h_, w_, d_, dt_, True, ver, cap,
-                nb_cap=nb_cap,
+                data_dev, mask_arr, jnp.float32(mze), h_, w_, d_, dt_, all_valid,
+                ver, cap, nb_cap=nb_cap,
             )
             header = tmpl
             # blobSize
@@ -311,13 +350,12 @@ class FusedResidentCodec(ResidentCodec):
                     zmax_vec = (acc << shift).astype(jnp.int32) >> shift
                 else:
                     zmax_vec = acc.astype(jnp.int32)
-            # nb_cap-sized extraction (grouped stays off: it regresses
-            # under vmap); unfit records fold into the ok flag -- callers
-            # rebuild on the uncapped variant (encode-side fits in meta
-            # already flags the same condition)
+            # nb_cap-sized extraction; unfit records fold into the ok flag
+            # -- callers rebuild on the uncapped variant (encode-side fits
+            # in meta already flags the same condition)
             img, index_ok, fits = device_decode.decode_tiles_fast(
                 stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver,
-                nb_cap=nb_cap,
+                nb_cap=nb_cap, mask=mask_dev,
             )
             return img, ok & index_ok & fits
 
@@ -376,8 +414,17 @@ class FusedResidentCodec(ResidentCodec):
         """-> (img [H, W, D] device, checksum_ok scalar bool device).
         With starts_dev (the encode-side index) the serial record scan is
         skipped entirely; without it the blob is scanned on device."""
+        if header_dev.shape[0] != self._hdr_len:
+            raise ValueError(
+                "header length does not match this codec's configuration "
+                "(different mask/shape/dtype?)"
+            )
         if starts_dev is not None:
             return self._decode_fused_fast(header_dev, stream_dev, starts_dev)
+        if self._mask_dev is not None:
+            raise ValueError(
+                "masked resident decode requires the record-offset index"
+            )
         return self._decode_fused(header_dev, stream_dev)
 
     def blob_to_bytes(self, header_dev, stream_dev, meta) -> bytes:

@@ -32,14 +32,22 @@ def decode_tiles_fast(
     max_z_error,  # f32 scalar
     z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
     h: int, w: int, d: int, dt: DataType, version: int, nb_cap: int = 0,
+    mask=None,    # optional [H, W] bool validity mask (device array)
 ):
-    """All-valid aligned fast decode. One sorted row gather per record
-    (over overlapping stride-S window rows) brings each record's bytes
-    into a dense window; header parse, payload alignment and value
-    extraction are then elementwise (dynamic lane roll composed from
-    static rolls, static-per-nb extraction chain). Returns
-    (img [H, W, D] native dtype, index_ok, fits). Requires H, W multiples
-    of 8, no mask, no LUT records (what our device encoder emits).
+    """Aligned fast decode. One sorted row gather per record (over
+    overlapping stride-S window rows) brings each record's bytes into a
+    dense window; header parse, payload alignment and value extraction
+    are then elementwise (dynamic lane roll composed from static rolls,
+    static-per-nb extraction chain). Returns (img [H, W, D] native
+    dtype, index_ok, fits). Requires H, W multiples of 8 and no LUT
+    records (what our device encoder emits).
+
+    With `mask`, records hold values compacted to the valid positions;
+    after extraction a batched one-hot expand routes value rank[p] back
+    to position p (invalid positions decode to 0, matching the
+    reference's zeroed output, Lerc2.cpp:961-1008). The mask also feeds
+    the per-record count used by the index consistency check, so a mask
+    that disagrees with the stream fails loudly.
 
     nb_cap > 0 statically caps the bit width the kernel is sized for.
     Records wider than the cap (or 4-byte raw records under a <32 cap)
@@ -62,6 +70,12 @@ def decode_tiles_fast(
     n_blocks = nbv * nbh
     n_rec = n_blocks * d
     inv_scale = (2.0 * max_z_error).astype(jnp.float32)
+
+    if mask is not None:
+        vb = (mask.reshape(nbv, MB, nbh, MB).transpose(0, 2, 1, 3)
+              .reshape(n_blocks, BS))
+        vb_r = jnp.repeat(vb, d, axis=0) if d > 1 else vb
+        cnt_r = vb_r.sum(axis=1).astype(jnp.int32)
 
     # ---- per-record window via overlapping stride-S rows.
     # A naive [2, 128]-row gather per record reads 1 KB for a ~100 B
@@ -220,6 +234,28 @@ def decode_tiles_fast(
             hi = hi | (s[:, :, 4 + b] << (8 * b))
         val = ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
 
+    if mask is not None:
+        # expand compacted values back to block positions: position p gets
+        # value slot rank[p]; a batched one-hot matmul over the 4 byte
+        # lanes keeps the per-record permutation exact and off the slow
+        # element-gather path
+        rank = jnp.cumsum(vb_r, axis=1).astype(jnp.int32) - 1
+        slots = jnp.arange(BS, dtype=jnp.int32)
+        oh = (jnp.where(vb_r, rank, -1)[:, :, None] == slots[None, None, :]
+              ).astype(jnp.bfloat16)
+        lanes = jnp.stack(
+            [((val >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
+            axis=2,
+        )
+        s2 = jax.lax.dot_general(
+            oh, lanes, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32)
+        vex = jnp.zeros((n_rec, BS), jnp.uint32)
+        for b in range(4):
+            vex = vex | (s2[:, :, b] << (8 * b))
+        val = vex
+
     m2 = mode[:, None]
     if not is_int:
         raw_f = jax.lax.bitcast_convert_type(val, jnp.float32)
@@ -229,7 +265,10 @@ def decode_tiles_fast(
         z = jnp.where(
             m2 == 0, raw_f,
             jnp.where(m2 == 2, 0.0, jnp.where(m2 == 3, off2, z_stuff)),
-        ).astype(np_out)
+        )
+        if mask is not None:
+            z = jnp.where(vb_r, z, 0.0)
+        z = z.astype(np_out)
     else:
         if np_out in (jnp.int8, jnp.int16, jnp.int32):
             shift = 32 - 8 * size_t
@@ -243,7 +282,10 @@ def decode_tiles_fast(
         z = jnp.where(
             m2 == 0, raw_i,
             jnp.where(m2 == 2, 0, jnp.where(m2 == 3, off_i, z_stuff)),
-        ).astype(np_out)
+        )
+        if mask is not None:
+            z = jnp.where(vb_r, z, 0)
+        z = z.astype(np_out)
 
     blocks = z.reshape(n_blocks, d, BS).transpose(0, 2, 1)  # [nB, 64, D]
     img = (
@@ -261,12 +303,16 @@ def decode_tiles_fast(
     cnt_b1 = rd_u8(sb + 3 + off_w)
     ne_i = (cnt_b0 | jnp.where(cw == 2, cnt_b1 << 8, 0)).astype(jnp.int32)
     stuff_bytes = (ne_i * nb + 7) >> 3
+    exp_cnt = cnt_r if mask is not None else BS
     length = jnp.where(
         mode == 2, 1,
         jnp.where(mode == 3, 1 + off_w,
-                  jnp.where(mode == 0, 1 + BS * size_t,
+                  jnp.where(mode == 0, 1 + exp_cnt * size_t,
                             1 + off_w + 1 + cw + stuff_bytes)),
     )
+    # a stuffed count disagreeing with the (mask-derived) valid count
+    # means the mask and stream are inconsistent
+    cnt_ok = jnp.all((mode != 1) | (ne_i == exp_cnt))
     # A record with the LUT bit set is a hard failure here: this fast path
     # has no LUT decode and the feeding encoders never emit LUT records, so
     # a parsed LUT bit means the index points at bytes that are not the
@@ -278,7 +324,7 @@ def decode_tiles_fast(
     # successor); every other mismatch -- including backward jumps -- fails
     is_last = jnp.arange(n_rec, dtype=jnp.int32) == n_rec - 1
     ok_rec = (deltas == length) | is_last
-    index_ok = ok_rec.all() & ~is_lut_rec.any()
+    index_ok = ok_rec.all() & ~is_lut_rec.any() & cnt_ok
     if always_fits:
         fits = jnp.bool_(True)
     else:

@@ -191,8 +191,9 @@ def fpl_pack_planes_device(planes, lens_codes, cap: int, pwh: int):
     """Batched Huffman packing of the 4 byte planes.
 
     planes [4, N] u8, lens_codes [4, 256, 5] f32 -> (streams [4, cap] u8,
-    total_bits [4] i32). Planes whose host-side method is raw/const/
-    PackBits are packed too (cheap) and simply ignored by the host."""
+    total_bits [4] i32, sbits [4, nGroups] i32). Planes whose host-side
+    method is raw/const/PackBits are packed too (cheap) and simply
+    ignored by the host."""
     return jax.vmap(
         lambda p, t: device_huffman.encode_stream_device(p, t, cap, pwh)
     )(planes, lens_codes)

@@ -21,9 +21,17 @@ Only the tree build (256 symbols, package-merge on host, ~50 us) leaves
 the device, as a 256-int histogram fetch. The canonical code table bytes
 are written by the host wrapper (codec/device_codec.py).
 
-Decode of Huffman blobs stays on the native host runtime
-(native/lerc_native.cpp, 131 Msym/s): the bitstream has no record
-boundaries to parallelize over without a sidecar index.
+DECODE runs on device too when the encoder's per-group bit-offset sidecar
+is available (decode_stream_device): groups decode in parallel, the 64
+symbols within a group serially -- each step resolves the code length
+with a static canonical compare chain (c_L in [first_L, first_L+count_L)
+over MSB-aligned prefixes; constants per length, pure elementwise), then
+advances a 2-word bit buffer with per-lane dynamic shifts and at most one
+window-word shift (L <= 32 crosses at most one word boundary). Symbol
+VALUES resolve once at the end with a single nibble-factored exact
+lookup over the canonical-order symbol table. Foreign blobs (no sidecar)
+fall back to the native host runtime (lerc_native.cpp, 131 Msym/s): a
+foreign bitstream has no record boundaries to parallelize over.
 """
 from __future__ import annotations
 
@@ -229,4 +237,152 @@ def encode_stream_device(sym, lens_codes, cap: int, pwh: int, live=None):
     out2 = jnp.zeros((cap_w // 128, 128), jnp.uint32)
     out2 = out2.at[rows_idx].add(rec256.reshape(g, 2, 128), mode="drop")
     stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
-    return stream, total_bits
+    # sbits doubles as the decode-side acceleration sidecar (per-group bit
+    # offsets; HBM metadata, wire unchanged)
+    return stream, total_bits, sbits
+
+
+def canonical_decode_consts(lengths: np.ndarray, codes: np.ndarray):
+    """Host-side canonical decode constants from a code table.
+
+    Returns (consts [33, 3] int32 rows (first, first+count, base),
+    sorted_syms [256] uint8): canonical codes of one length are
+    consecutive integers, so symbol index = base_L + (prefix - first_L)
+    into the (length, code)-sorted symbol array (Huffman.cpp:541-572
+    canonical property).
+    """
+    consts = np.zeros((33, 3), np.int32)
+    sorted_syms = np.zeros(256, np.uint8)
+    base = 0
+    for L in range(1, 33):
+        sel = np.nonzero(lengths == L)[0]
+        if sel.size == 0:
+            consts[L] = (0, 0, 0)  # first == first+count: level never matches
+            continue
+        cs = codes[sel].astype(np.int64)
+        order = np.argsort(cs)
+        sorted_syms[base : base + sel.size] = sel[order]
+        first = int(cs.min())
+        consts[L] = (first, first + sel.size, base)
+        base += sel.size
+    return consts, sorted_syms
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_len"))
+def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
+                         n: int, max_len: int):
+    """Decode an MSB-first canonical-Huffman bitstream into [n] uint8
+    symbols using the encoder's per-group bit-offset sidecar.
+
+    stream: [cap] u8 (cap % 512 == 0); sbits: [g] i32 group start bits
+    (g = ceil(n / GROUP), monotone); consts: [33, 3] i32 canonical rows
+    (first, first+count, base) per code length; sorted_syms_lanes:
+    [16, 16, 1] f32 canonical-order symbol table for the exact
+    nibble-factored lookup. max_len: max code length (static; bounds the
+    compare chain and the window size).
+
+    Groups decode in parallel; the GROUP symbols within each group decode
+    serially against a 2-word MSB bit buffer: per-lane dynamic bit shifts
+    are native, and a step consumes <= 32 bits so the window slides at
+    most one word per step (a conditional full-window word shift).
+    """
+    g = sbits.shape[0]
+    assert g == -(-n // GROUP)
+    win_w = min((GROUP * max_len + 31) // 32 + 2, 66)
+    sw = 64 if win_w + 63 <= 128 else 32
+    swb = sw.bit_length() - 1
+
+    u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    nq = u32.shape[0] // sw
+    wq = u32.reshape(nq, sw)
+    n_k = 128 // sw
+    wqp = jnp.concatenate([wq, jnp.zeros((n_k - 1, sw), jnp.uint32)], axis=0)
+    v = jnp.concatenate([wqp[k : nq + k] for k in range(n_k)], axis=1)
+    qw = sbits >> 5
+    winr = v.at[jnp.clip(qw >> swb, 0, nq - 1)].get(indices_are_sorted=True)
+    lane = (qw & (sw - 1))[:, None]
+    for b in range(swb):
+        winr = jnp.where((lane >> b) & 1 == 1, jnp.roll(winr, -(1 << b), axis=1), winr)
+    win = winr[:, : win_w + 1]
+    # bit-align (MSB space): shift the window left by sbits & 31
+    s0 = (sbits.astype(jnp.uint32) & 31)[:, None]
+    nxt = jnp.concatenate([win[:, 1:], jnp.zeros((g, 1), jnp.uint32)], axis=1)
+    win = jnp.where(s0 > 0, (win << s0) | (nxt >> (jnp.uint32(32) - s0)), win)
+    win = win[:, :win_w]
+
+    first = consts[:, 0]
+    limit = consts[:, 1]
+    basec = consts[:, 2]
+    gi = jnp.arange(g, dtype=jnp.int32) * GROUP
+    lv = jnp.arange(1, max_len + 1, dtype=jnp.int32)
+    # stacked per-length canonical rows for the inner scan
+    lconst = jnp.stack([lv, first[1 : max_len + 1], limit[1 : max_len + 1],
+                        basec[1 : max_len + 1]], axis=1)
+
+    def step_fn(carry, step):
+        win, o, used, bad = carry
+        live = gi + step < n
+        peek = jnp.where(
+            o > 0, (win[:, 0] << o) | (win[:, 1] >> (jnp.uint32(32) - o)), win[:, 0]
+        )
+
+        def len_fn(acc, row):
+            found, length, idx = acc
+            L, f, lim, b = row[0], row[1], row[2], row[3]
+            c = (peek >> (jnp.uint32(32) - L.astype(jnp.uint32))).astype(jnp.int32)
+            ok = (~found) & (c >= f) & (c < lim)
+            return (found | ok, jnp.where(ok, L, length), jnp.where(ok, b + c - f, idx)), None
+
+        (found, length, idx), _ = jax.lax.scan(
+            len_fn,
+            (jnp.zeros(g, bool), jnp.zeros(g, jnp.int32), jnp.zeros(g, jnp.int32)),
+            lconst,
+        )
+        bad = bad | (live & ~found)  # live prefix matching no code: corrupt
+        length = jnp.where(live, length, 0)
+        used = used + length
+        o2 = o + length.astype(jnp.uint32)
+        shift_word = o2 >= 32
+        win = jnp.where(
+            shift_word[:, None],
+            jnp.concatenate([win[:, 1:], jnp.zeros((g, 1), jnp.uint32)], axis=1),
+            win,
+        )
+        return (win, o2 & 31, used, bad), idx
+
+    (_, _, used, bad), idx_steps = jax.lax.scan(
+        step_fn,
+        (win, jnp.zeros(g, jnp.uint32), jnp.zeros(g, jnp.int32), jnp.zeros(g, bool)),
+        jnp.arange(GROUP, dtype=jnp.int32),
+    )
+    idxs = idx_steps.T.reshape(g * GROUP)  # [GROUP, g] -> canonical indices
+    syms = _map256(idxs.astype(jnp.uint8), sorted_syms_lanes)[:, 0].astype(jnp.uint8)
+    # sidecar consistency: each group's consumed bits must equal the next
+    # group's start offset delta (the sidecar is untrusted HBM metadata)
+    deltas = jnp.concatenate([sbits[1:], sbits[:1]]) - sbits
+    is_last = jnp.arange(g, dtype=jnp.int32) == g - 1
+    ok_index = jnp.all((deltas == used) | is_last) & ~jnp.any(bad)
+    return syms[:n], used, ok_index
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "dt", "delta"))
+def symbols_to_image(sym, h: int, w: int, d: int, dt: DataType, delta: bool):
+    """Invert the symbol transform of symbol_streams_device -> [H, W, D].
+
+    direct: pixel-major val = sym - offset. delta: depth-major; the
+    scan-order un-delta (prev = left, or above at column 0,
+    Lerc2.cpp:2472-2606) factorizes into one vertical mod-256 cumsum down
+    column 0 and one horizontal mod-256 cumsum along each row.
+    """
+    offset = 128 if dt == DataType.CHAR else 0
+    if not delta:
+        u = (sym.astype(jnp.int32) - offset) & 0xFF
+        img = u.reshape(h, w, d)
+    else:
+        e = (sym.astype(jnp.int32).reshape(d, h, w) - offset)
+        col0 = jnp.cumsum(e[:, :, 0], axis=1) & 0xFF           # [D, H]
+        rowsrc = jnp.concatenate([col0[:, :, None], e[:, :, 1:]], axis=2)
+        img = (jnp.cumsum(rowsrc, axis=2) & 0xFF).transpose(1, 2, 0)
+    if dt == DataType.CHAR:
+        return (img.astype(jnp.uint8)).astype(jnp.int8)
+    return img.astype(jnp.uint8)

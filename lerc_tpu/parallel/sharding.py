@@ -257,13 +257,18 @@ def read_mosaic(buf: bytes):
 
 
 def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
-    """TPU-parallel mosaic decode: per-tile streams batched into one
-    scan-free decode (record offsets from the container's acceleration
-    index), sharded over the mesh when given. Tiles without an index entry
-    (masked, const, or v1 containers) fall back to the host decoder."""
+    """TPU-parallel mosaic decode: per-tile scan-free decodes (record
+    offsets from the container's acceleration index). Masked and
+    edge-padded tiles stay on device via the masked fast path (their RLE
+    masks parse on host, ~bytes). Only tiles without an index entry
+    (const/empty, or v1 containers) fall back to the host decoder."""
     from ..codec import header as hdr_mod
+    from ..codec.bitmask import bits_to_bool, mask_size_bytes
     from ..codec.orchestrator import decode_blob
+    from ..codec.lerc2_decode import read_band_ranges
     from ..constants import dt_is_int
+    from .. import native
+    from ..codec import rle
 
     info, views = read_mosaic(buf)
     ty, tx = info["grid"]
@@ -281,7 +286,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
         heads.append(hd)
     dev_ok = [
         t for t, hd in enumerate(heads)
-        if stream_offs[t] >= 0 and hd.num_valid_pixel == tile_h * tile_w
+        if stream_offs[t] >= 0 and hd.num_valid_pixel > 0
         and tile_h % 8 == 0 and tile_w % 8 == 0
     ]
     # the host fallback (decode_blob) verifies each blob's Fletcher32; the
@@ -293,48 +298,61 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
             skip = hdr_mod.checksum_skip(hd.version)
             if fletcher32.fletcher32(views[t][skip : hd.blob_size]) != hd.checksum:
                 raise ValueError(f"mosaic tile {t}: Lerc2 checksum mismatch")
-    out = None
     d = heads[0].n_depth
     np_dt = DT_TO_NUMPY[heads[0].dt]
     out = np.zeros((h, w, d), dtype=np_dt)
 
-    if dev_ok:
-        cap = max(
-            -(-(len(views[t]) - int(stream_offs[t])) // 512) * 512 for t in dev_ok
-        )
-        batch = np.zeros((len(dev_ok), cap), np.uint8)
-        zmaxs = np.zeros((len(dev_ok), d), np.float64)
-        for i, t in enumerate(dev_ok):
-            s = np.frombuffer(views[t][int(stream_offs[t]):], np.uint8)
-            batch[i, : s.size] = s
-            from ..codec.lerc2_decode import read_band_ranges
+    def tile_mask(t):
+        """Inline RLE mask of tile t, or None when fully valid."""
+        hd = heads[t]
+        if hd.num_valid_pixel == tile_h * tile_w:
+            return None
+        pos = hdr_mod.header_size(hd.version)
+        num_bytes_mask = int.from_bytes(views[t][pos : pos + 4], "little", signed=True)
+        pos += 4
+        if num_bytes_mask <= 0:
+            return None  # mask-reuse has no inline mask; handled by caller
+        nb = mask_size_bytes(tile_w, tile_h)
+        raw = np.frombuffer(views[t][pos : pos + num_bytes_mask], np.uint8)
+        bits = (native.rle_decompress(raw, nb) if native.available()
+                else np.frombuffer(rle.decompress(raw, nb), np.uint8))
+        return bits_to_bool(bits, tile_w, tile_h)
 
-            _hd2, (_zmn, zmx) = read_band_ranges(views[t])
-            zmaxs[i] = zmx
-        hd0 = heads[dev_ok[0]]
-        if dt_is_int(hd0.dt):
-            zmax_arg = jnp.asarray(np.round(zmaxs).astype(np.int32))
+    for t in dev_ok[:]:
+        hd = heads[t]
+        if hd.num_valid_pixel < tile_h * tile_w and tile_mask(t) is None:
+            dev_ok.remove(t)  # masked tile without an inline mask: host path
+
+    # sequential per-tile fast decodes (vmap loses the sorted scatter/
+    # gather fast paths; jit caches across same-shaped tiles)
+    for t in dev_ok:
+        hd = heads[t]
+        _hd2, (_zmn, zmx) = read_band_ranges(views[t])
+        if dt_is_int(hd.dt):
+            zmax_arg = jnp.asarray(np.round(zmx).astype(np.int32))
         else:
-            zmax_arg = jnp.asarray(zmaxs.astype(np.float32))
-        dec = jax.vmap(
-            lambda s, st, zm: device_decode.decode_tiles_fast(
-                s, st, jnp.float32(hd0.max_z_error), zm,
-                tile_h, tile_w, d, hd0.dt, hd0.version,
-            )[:2]
+            zmax_arg = jnp.asarray(np.asarray(zmx).astype(np.float32))
+        s = np.frombuffer(views[t][int(stream_offs[t]):], np.uint8)
+        cap = -(-s.size // 512) * 512
+        sp = np.zeros(cap, np.uint8)
+        sp[: s.size] = s
+        msk = tile_mask(t)
+        img, idx_ok, _fits = device_decode.decode_tiles_fast(
+            jnp.asarray(sp), jnp.asarray(starts_all[t]),
+            jnp.float32(hd.max_z_error), zmax_arg,
+            tile_h, tile_w, d, hd.dt, hd.version,
+            mask=None if msk is None else jnp.asarray(msk),
         )
-        imgs, idx_ok = dec(
-            jnp.asarray(batch), jnp.asarray(starts_all[dev_ok]), zmax_arg
-        )
-        if not bool(np.asarray(idx_ok).all()):
-            raise ValueError("mosaic record-offset index inconsistent with streams")
-        imgs = np.asarray(imgs)
-        for i, t in enumerate(dev_ok):
-            ti, tj = divmod(t, tx)
-            hs = min(tile_h, h - ti * tile_h)
-            ws = min(tile_w, w - tj * tile_w)
-            out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
-                imgs[i, :hs, :ws]
+        if not bool(np.asarray(idx_ok)):
+            raise ValueError(
+                f"mosaic tile {t}: record-offset index inconsistent with stream"
             )
+        ti, tj = divmod(t, tx)
+        hs = min(tile_h, h - ti * tile_h)
+        ws = min(tile_w, w - tj * tile_w)
+        out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
+            np.asarray(img)[:hs, :ws]
+        )
 
     for t in range(ty * tx):
         if t in dev_ok:

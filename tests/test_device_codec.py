@@ -456,3 +456,64 @@ def test_device_depth_diff_masked():
     if oracle.available():
         ref = oracle.decode(blob)[0].reshape(h, w, d)
         np.testing.assert_array_equal(ref[mask], data[mask])
+
+
+def test_device_huffman_decode_sidecar():
+    """Device-parallel Huffman DECODE via the encoder's per-group
+    bit-offset sidecar: bit-exact, tamper-detected, host fallback for
+    foreign (sidecar-less) blobs (VERDICT r1 item 2)."""
+    rng = np.random.default_rng(77)
+    h, w = 96, 96
+    # smooth-ish 8-bit image so delta-Huffman wins decisively
+    img = (np.cumsum(rng.integers(-2, 3, (h, w)), axis=1) % 200).astype(np.uint8)
+    blob, index = encode_band_device(img[:, :, None].copy(), None, 0.5,
+                                     return_index=True)
+    assert index is not None and "huffman_sbits" in index
+    out = decode_band_device(blob, index=index)
+    assert out is not None, "device Huffman decode fell back"
+    np.testing.assert_array_equal(out.data[:, :, 0], img)
+    # reference library agrees on the same wire bytes
+    ref = oracle.decode(blob)[0].reshape(h, w)
+    np.testing.assert_array_equal(ref, img)
+    # foreign blob (no sidecar): routes to the host path
+    assert decode_band_device(blob) is None
+    # tampered sidecar fails loudly, never silently wrong pixels
+    bad = dict(index)
+    bs = index["huffman_sbits"].copy()
+    bs[2] += 8
+    bad["huffman_sbits"] = bs
+    with pytest.raises(ValueError):
+        decode_band_device(blob, index=bad)
+
+
+def test_device_huffman_decode_direct_mode_char():
+    """Direct (non-delta) Huffman + int8 symbols through the device
+    decoder."""
+    rng = np.random.default_rng(78)
+    h, w = 64, 72
+    # high-frequency noise: direct histogram beats delta
+    img = rng.choice(np.arange(-5, 6, dtype=np.int8), size=(h, w),
+                     p=np.r_[np.full(5, 0.02), 0.8, np.full(5, 0.02)]).astype(np.int8)
+    blob, index = encode_band_device(img[:, :, None].copy(), None, 0.5,
+                                     return_index=True)
+    if index is None:
+        pytest.skip("Huffman not selected for this data")
+    out = decode_band_device(blob, index=index)
+    assert out is not None
+    np.testing.assert_array_equal(out.data[:, :, 0], img)
+    ref = oracle.decode(blob)[0].reshape(h, w)
+    np.testing.assert_array_equal(ref, img)
+
+
+def test_device_huffman_decode_depth3():
+    rng = np.random.default_rng(79)
+    h, w, d = 56, 48, 3
+    img = (np.cumsum(rng.integers(-1, 2, (h, w, d)), axis=1) % 150).astype(np.uint8)
+    blob, index = encode_band_device(img.copy(), None, 0.5, return_index=True)
+    if index is None:
+        pytest.skip("Huffman not selected for this data")
+    out = decode_band_device(blob, index=index)
+    assert out is not None
+    np.testing.assert_array_equal(out.data, img)
+    ref = oracle.decode(blob)[0].reshape(h, w, d)
+    np.testing.assert_array_equal(ref, img)
