@@ -45,7 +45,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "tile_h", "tile_w", "d", "dt", "version", "cap"),
+    static_argnames=("mesh", "tile_h", "tile_w", "d", "dt", "version", "cap",
+                     "try_16"),
 )
 def _encode_tiles_sharded(
     tiles,      # [T, tileH, tileW, D] sharded over "tiles"
@@ -58,32 +59,85 @@ def _encode_tiles_sharded(
     dt: DataType,
     version: int,
     cap: int,
+    try_16: bool = True,
 ):
-    """Returns (streams [T, cap] u8, totals [T], z_mins [T, D], z_maxs [T, D],
-    global_min [D], global_max [D]); all sharded/replicated appropriately."""
+    """Returns (streams [T, cap] u8, totals [T], mbs [T] micro-block size,
+    starts [T, nRec8], z_mins/z_maxs [T, D] sharded, global_min/max [D] and
+    all_sizes/all_mbs/all_zmins/all_zmaxs [T, ...] replicated).
+
+    Full-strength per-tile encode (VERDICT r1 item 7): LUT block mode on,
+    and the 16x16 micro-block retrial evaluated per tile with the
+    reference's gates (Lerc2.cpp:333-357) -- both variants are encoded
+    and the smaller stream selected elementwise (no data-dependent
+    branching under jit). Whole-image Huffman/fpl candidates need a host
+    tree build and remain single-device features (documented in
+    PARITY.md). Metadata travels by all-gather so ANY process can lay out
+    the container; payload bytes are read from addressable shards only."""
 
     def encode_one(tile, mask):
         stream, total, zmin, zmax, starts, _fits = device_encode.encode_tiles(
-            tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version, cap
+            tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version, cap,
+            enable_lut=True,
         )
-        return stream, total, zmin.astype(jnp.float32), zmax.astype(jnp.float32), starts
+        n_valid = mask.sum().astype(jnp.int32)
+        if try_16 and (tile_h > 8 or tile_w > 8):
+            s16, t16, _z1, _z2, _st16, _f16 = device_encode.encode_tiles(
+                tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version,
+                cap, enable_lut=True, mb=16,
+            )
+            n_one_sweep = DT_SIZE[dt] * d * n_valid
+            use16 = (
+                (total * 16 < 3 * tile_h * tile_w * d)  # bitrate < ~1.5 bpp
+                & (total < 4 * n_one_sweep)
+                & (t16 <= total)
+            )
+            stream = jnp.where(use16, s16, stream)
+            total = jnp.where(use16, t16, total)
+            mbs = jnp.where(use16, 16, 8).astype(jnp.int32)
+        else:
+            mbs = jnp.full((), 8, jnp.int32)
+        return (stream, total, mbs,
+                zmin.astype(jnp.float32), zmax.astype(jnp.float32), starts)
 
     def local_step(tiles_l, masks_l):
-        streams, totals, zmins, zmaxs, starts = jax.vmap(encode_one)(tiles_l, masks_l)
+        streams, totals, mbs, zmins, zmaxs, starts = jax.vmap(encode_one)(
+            tiles_l, masks_l)
         gmin = jax.lax.pmin(zmins.min(axis=0), "tiles")
         gmax = jax.lax.pmax(zmaxs.max(axis=0), "tiles")
-        # sizes travel with an all-gather so every host can build the index
+        # metadata travels by all-gather so every process can build the
+        # container index without touching non-addressable payload shards
         all_sizes = jax.lax.all_gather(totals, "tiles", tiled=True)
-        return streams, totals, zmins, zmaxs, gmin, gmax, all_sizes, starts
+        all_mbs = jax.lax.all_gather(mbs, "tiles", tiled=True)
+        all_zmins = jax.lax.all_gather(zmins, "tiles", tiled=True)
+        all_zmaxs = jax.lax.all_gather(zmaxs, "tiles", tiled=True)
+        return (streams, totals, mbs, zmins, zmaxs, gmin, gmax,
+                all_sizes, all_mbs, all_zmins, all_zmaxs, starts)
 
     return jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles")),
-        out_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles"), P(), P(), P(),
-                   P("tiles")),
+        out_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles"), P("tiles"),
+                   P(), P(), P(), P(), P(), P(), P("tiles")),
         check_vma=False,
     )(tiles, masks)
+
+
+def _addressable_tile_rows(arr) -> dict[int, np.ndarray]:
+    """{global_tile_index: row} from this process's ADDRESSABLE shards.
+
+    The multi-host-correct way to read a tile-sharded array: never
+    np.asarray the global array (it fails or implies a hidden transfer
+    when shards live on other hosts' devices); walk addressable shards
+    and map their global slice offsets."""
+    parts: dict[int, np.ndarray] = {}
+    for sh in arr.addressable_shards:
+        sl = sh.index[0]
+        start = 0 if sl.start is None else int(sl.start)
+        a = np.asarray(sh.data)
+        for i in range(a.shape[0]):
+            parts[start + i] = a[i]
+    return parts
 
 
 def split_into_tiles(data: np.ndarray, mask: np.ndarray | None, tile_h: int, tile_w: int):
@@ -112,8 +166,10 @@ class MosaicEncoder:
     """
 
     def __init__(self, mesh: Mesh, tile_h: int, tile_w: int, dtype, n_depth: int = 1,
-                 version: int = 6):
+                 version: int = 6, try_16: bool = True):
         self.mesh = mesh
+        self.try_16 = try_16  # 16x16 retrial: better low-bitrate compression,
+        # but chosen tiles decode via the host path (no 8x8 record index)
         self.tile_h, self.tile_w = tile_h, tile_w
         self.dt = NUMPY_TO_DT[np.dtype(dtype)]
         self.np_dtype = np.dtype(dtype)
@@ -142,47 +198,72 @@ class MosaicEncoder:
         if self.dt < DataType.FLOAT:
             mze = max(0.5, np.floor(mze))
 
-        streams, totals, zmins, zmaxs, gmin, gmax, all_sizes, starts = (
+        (streams, totals, mbs, zmins, zmaxs, gmin, gmax,
+         all_sizes, all_mbs, all_zmins, all_zmaxs, starts) = (
             _encode_tiles_sharded(
                 tiles_d, masks_d, jnp.float32(mze), self.mesh,
                 self.tile_h, self.tile_w, self.d, self.dt, self.version, self.cap,
+                try_16=self.try_16,
             )
         )
-        totals = np.asarray(totals)
-        zmins = np.asarray(zmins, dtype=np.float64)
-        zmaxs = np.asarray(zmaxs, dtype=np.float64)
-        streams = np.asarray(streams)
-        starts = np.asarray(starts)
+        # replicated metadata: addressable on every process by definition
+        sizes_np = np.asarray(all_sizes)
+        mbs_np = np.asarray(all_mbs)
+        zmins_np = np.asarray(all_zmins, dtype=np.float64)
+        zmaxs_np = np.asarray(all_zmaxs, dtype=np.float64)
+        # payload bytes: read ONLY this process's addressable shards; with
+        # multiple processes, one ragged gather over DCN assembles the rest
+        # (Lerc.cpp:130-176 band-ordered concat semantics, distributed)
+        stream_parts = _addressable_tile_rows(streams)
+        starts_parts = _addressable_tile_rows(starts)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            # each process contributes its shard rows; the 1-D mesh
+            # enumerates devices in process order, so axis-0 concatenation
+            # restores global tile order
+            local_idx = sorted(stream_parts)
+            g_streams = multihost_utils.process_allgather(
+                np.stack([stream_parts[t] for t in local_idx]))
+            g_starts = multihost_utils.process_allgather(
+                np.stack([starts_parts[t] for t in local_idx]))
+            stream_parts = dict(enumerate(g_streams))
+            starts_parts = dict(enumerate(g_starts))
 
         # host assembly: per-tile Lerc2 blobs (header + mask + ranges + payload)
         blobs = []
         stream_offs = []
         for t in range(t_total):
             blob, soff = self._wrap_tile(
-                streams[t], int(totals[t]), zmins[t], zmaxs[t],
-                masks[t], mze,
+                stream_parts[t], int(sizes_np[t]), zmins_np[t], zmaxs_np[t],
+                masks[t], mze, int(mbs_np[t]),
             )
             blobs.append(blob)
-            stream_offs.append(soff)
+            # 16x16 tiles have no usable 8x8 record index: host decode
+            stream_offs.append(soff if int(mbs_np[t]) == 8 else -1)
         index = struct.pack("<14s4i", MOSAIC_MAGIC2, ty, tx, h, w)
         index += struct.pack("<2i", self.tile_h, self.tile_w)
         index += struct.pack(f"<{t_total}q", *np.cumsum([0] + [len(b) for b in blobs[:-1]]).tolist())
         index += struct.pack("<2d", float(np.asarray(gmin).min()), float(np.asarray(gmax).max()))
         # record-offset acceleration index (decode-side scan skip): per tile
         # the byte offset of the tile stream within its blob (-1: no stream,
-        # const/empty tile) and the record start offsets
+        # const/empty or 16x16 tile) and the record start offsets
         n_rec = starts.shape[1] if starts.ndim == 2 else 0
         index += struct.pack("<2i", n_rec, 0)
         index += np.asarray(stream_offs, np.int32).tobytes()
-        index += starts[:t_total].astype(np.int32).tobytes()
+        index += np.stack(
+            [starts_parts[t] for t in range(t_total)]
+        ).astype(np.int32).tobytes()
         return index + b"".join(blobs)
 
-    def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze):
+    def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze,
+                   micro_block_size: int = 8):
         """-> (blob bytes, stream byte offset within the blob or -1)."""
         num_valid = int(tile_mask.sum())
         head = hdr.HeaderInfo(
             version=self.version, n_rows=self.tile_h, n_cols=self.tile_w, n_depth=self.d,
-            num_valid_pixel=num_valid, micro_block_size=8, dt=self.dt, max_z_error=mze,
+            num_valid_pixel=num_valid, micro_block_size=micro_block_size,
+            dt=self.dt, max_z_error=mze,
         )
         need_mask = 0 < num_valid < self.tile_h * self.tile_w
         if need_mask:  # masked tiles carry their mask inline (RLE'd bitmask)
@@ -287,6 +368,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
     dev_ok = [
         t for t, hd in enumerate(heads)
         if stream_offs[t] >= 0 and hd.num_valid_pixel > 0
+        and hd.micro_block_size == 8
         and tile_h % 8 == 0 and tile_w % 8 == 0
     ]
     # the host fallback (decode_blob) verifies each blob's Fletcher32; the
