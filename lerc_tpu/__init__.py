@@ -10,10 +10,14 @@ getLercBlobInfo[_4D], getLercDataRanges, plus pythonic compress/decompress.
 
 from .api import (
     compress,
+    computeCompressedSize,
+    computeCompressedSize_4D,
     convert2ma,
     decode,
     decode_4D,
     decode_ma,
+    decodeToDouble,
+    decodeToDouble_4D,
     decompress,
     encode,
     encode_4D,

@@ -162,6 +162,24 @@ def _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, n_bytes_hi
     return (0, len(blob), blob)
 
 
+def computeCompressedSize(np_arr, n_values_per_pixel, b_has_mask, np_valid_mask,
+                          max_z_err, printInfo=False):
+    """Exact compressed blob size in bytes, without returning the blob
+    (lerc_computeCompressedSize, Lerc_c_api.h:126-160: "size accurate to
+    the byte"). Returns (result, nBytes). The encoder pipeline runs the
+    same deterministic two-pass layout as encode(), so
+    computeCompressedSize(x) == len(encode(x)) always holds."""
+    rv = _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, 0, None)
+    return rv[:2]
+
+
+def computeCompressedSize_4D(np_arr, n_values_per_pixel, np_valid_mask, max_z_err,
+                             npma_no_data_per_band=None, printInfo=False):
+    rv = _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, 0,
+                     npma_no_data_per_band)
+    return rv[:2]
+
+
 def encode_ma(npma_arr, n_values_per_pixel, max_z_err, n_bytes_hint,
               npma_no_data_per_band=None, printInfo=False):
     """Encode a numpy masked array (mirrors _lerc.py:467-521)."""
@@ -277,6 +295,27 @@ def decode(lerc_blob, printInfo=False):
 
 def decode_4D(lerc_blob, printInfo=False):
     return _decode_ext(lerc_blob, 1)
+
+
+def decodeToDouble(lerc_blob, printInfo=False):
+    """Decode any stored dtype and widen the pixels to float64
+    (lerc_decodeToDouble, Lerc_c_api.h:351-380: the caller gets doubles
+    regardless of the blob's data type; exact for every LERC dtype since
+    f64 holds all int32/float32 values)."""
+    return _decode_to_double_ext(lerc_blob, 0)
+
+
+def decodeToDouble_4D(lerc_blob, printInfo=False):
+    """4D variant of decodeToDouble (lerc_decodeToDouble_4D,
+    Lerc_c_api_impl.cpp:286-301 decode-then-widen semantics)."""
+    return _decode_to_double_ext(lerc_blob, 1)
+
+
+def _decode_to_double_ext(lerc_blob, n_support_no_data):
+    rv = _decode_ext(lerc_blob, n_support_no_data)
+    if not isinstance(rv, tuple) or rv[0] != 0 or rv[1] is None:
+        return rv
+    return (rv[0], rv[1].astype(np.float64)) + rv[2:]
 
 
 def _decode_ext(lerc_blob, n_support_no_data):

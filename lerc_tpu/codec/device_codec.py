@@ -31,10 +31,8 @@ def _round_cap(n: int) -> int:
 
 def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
                     all_valid: bool = True) -> bool:
-    if dt == DataType.DOUBLE:
-        # lossy f64 encodes on device in double-single arithmetic;
-        # lossless f64 (fpl) needs the exact host path
-        return max_z_error > 0
+    # every dtype/mode has a device path: lossy f64 via double-single
+    # tiling, lossless f64 via the fpl limb-pair pipeline
     return True
 
 
@@ -90,17 +88,24 @@ def encode_band_device(
     n_rec = (-(-h // 8)) * (-(-w // 8)) * d
     cap = _round_cap(num_valid * DT_SIZE[dt] * d + n_rec * 12 + 4096)
 
+    f64_lossless = dt == DataType.DOUBLE and mze == 0
     if dt == DataType.DOUBLE:
         data_np = np.ascontiguousarray(np.asarray(data), dtype=np.float64)
         data_dev = None
-        d_hi, d_lo, d_bits = device_f64.split_f64_host(data_np)
-        mh = np.float32(mze)
-        ml = np.float32(np.float64(mze) - np.float64(mh))
-        stream, total, _starts = device_f64.encode_tiles_f64(
-            jnp.asarray(d_hi), jnp.asarray(d_lo), jnp.asarray(d_bits),
-            mask_dev, jnp.float32(mh), jnp.float32(ml),
-            h, w, d, all_valid, version, cap,
-        )
+        if f64_lossless:
+            # no device tiling candidate for lossless doubles (mze==0
+            # forces every block raw anyway, always bigger than one-sweep);
+            # the fpl limb-pair path below carries the payload
+            stream, total = None, 1 << 60
+        else:
+            d_hi, d_lo, d_bits = device_f64.split_f64_host(data_np)
+            mh = np.float32(mze)
+            ml = np.float32(np.float64(mze) - np.float64(mh))
+            stream, total, _starts = device_f64.encode_tiles_f64(
+                jnp.asarray(d_hi), jnp.asarray(d_lo), jnp.asarray(d_bits),
+                mask_dev, jnp.float32(mh), jnp.float32(ml),
+                h, w, d, all_valid, version, cap,
+            )
         # exact f64 ranges on host
         zmin_vec = np.array([data_np[:, :, k][mask_np].min() if num_valid else 0.0
                              for k in range(d)])
@@ -115,7 +120,7 @@ def encode_band_device(
         zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
         zmax_vec = np.asarray(zmax_vec, dtype=np.float64)
     total = int(total)
-    if total > cap:
+    if stream is not None and total > cap:
         raise ValueError("device encode capacity exceeded")
 
     head = hdr.HeaderInfo(
@@ -161,11 +166,18 @@ def encode_band_device(
         if np.array_equal(zmin_vec, zmax_vec):
             return assemble(ranges, b"")
 
-    payload = np.asarray(stream)[:total].tobytes()  # fixed-shape transfer, host slice
-    n_bytes_data = total
-    n_bytes_tiling = total
-    n_bytes_huffman = 0
-    image_mode = ImageEncodeMode.TILING
+    if f64_lossless:
+        payload = _encode_fpl_device_f64(data_np, h, w, d)
+        n_bytes_data = len(payload)
+        n_bytes_tiling = 1 << 60  # suppresses the 16x16 retrial gates
+        image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
+        n_bytes_huffman = n_bytes_data
+    else:
+        payload = np.asarray(stream)[:total].tobytes()  # fixed-shape transfer
+        n_bytes_data = total
+        n_bytes_tiling = total
+        n_bytes_huffman = 0
+        image_mode = ImageEncodeMode.TILING
     try_huffman = head.try_huffman_int() or head.try_huffman_flt()
 
     # whole-image Huffman candidate (8-bit types, lossless): device
@@ -182,10 +194,11 @@ def encode_band_device(
                 image_mode, hbytes, huffman_sbits = hm
                 payload = hbytes
                 n_bytes_data = n_bytes_huffman
-    elif head.try_huffman_flt() and dt == DataType.FLOAT:
+    fpl_sidecar = None
+    if head.try_huffman_flt() and dt == DataType.FLOAT:
         # fpl lossless float (v6): accepted only when >= 10% smaller than
         # tiling (Lerc2.cpp:322)
-        fbytes = _encode_fpl_device(data_dev, h, w, d)
+        fbytes, fside = _encode_fpl_device(data_dev, h, w, d, want_sidecar=True)
         if fbytes is not None:
             # mirror the host encoder (lerc2_encode.py:229): the candidate
             # size feeds the 16x16 retrial gate even when fpl loses
@@ -194,6 +207,7 @@ def encode_band_device(
                 image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
                 payload = fbytes
                 n_bytes_data = n_bytes_huffman
+                fpl_sidecar = fside
 
     # 16x16 micro-block retrial at low bit rates (Lerc2.cpp:333-357): half
     # the per-block header overhead when blocks compress below ~1.5 bpp
@@ -220,6 +234,7 @@ def encode_band_device(
         body = b"\x01" + np.asarray(data)[mask_np].astype(np_dt).tobytes()
         image_mode = ImageEncodeMode.TILING
         huffman_sbits = None
+        fpl_sidecar = None
     else:
         body = b"\x00"
         if try_huffman:
@@ -233,6 +248,10 @@ def encode_band_device(
         if (image_mode in (ImageEncodeMode.HUFFMAN, ImageEncodeMode.DELTA_HUFFMAN)
                 and huffman_sbits is not None):
             index = {"huffman_sbits": np.asarray(huffman_sbits).astype(np.int32)}
+        elif (image_mode == ImageEncodeMode.DELTA_DELTA_HUFFMAN
+                and fpl_sidecar is not None):
+            index = {"fpl_sbits": {int(k): np.asarray(v).astype(np.int32)
+                                   for k, v in fpl_sidecar.items()}}
         return blob, index
     return blob
 
@@ -256,27 +275,18 @@ def _verify_device_encode(blob, data, mask_np, mze, dt):
             raise ValueError(f"ENCODE_VERIFY: error {err} exceeds {limit}")
 
 
-def _encode_fpl_device(data_dev, h, w, d):
-    """Device fpl lossless float encode: analysis + plane packing on
-    device, per-plane 256-symbol tree builds and section assembly on host.
-    Mirrors fpl_Lerc2Ext::EncodeHuffmanFlt's wire format
-    (fpl_Lerc2Ext.cpp:405-430); predictor / delta-level / method choices
-    may differ from the reference's sampling (any choice is decodable)."""
-    n = h * w * d
-    pred, levels_dev = device_fpl.fpl_choose_device(data_dev, h, w, d)
-    pred = int(pred)  # static for the finalize variant (3 compiles max)
-    histos, planes, pb_sizes = device_fpl.fpl_finalize_device(
-        data_dev, levels_dev, h, w, d, pred
-    )
-    levels = np.asarray(levels_dev)
-    histos = np.asarray(histos).astype(np.int64)
-    pb_sizes = np.asarray(pb_sizes)
-
-    lens_codes = np.zeros((4, 256, 5), np.float32)
+def _fpl_assemble(pred, levels, histos, planes, pb_sizes, n, unit_size):
+    """Shared host assembly of the fpl wire section from device outputs:
+    per-plane method choice (min of Huffman/PackBits/raw with the
+    RLE-const shortcut, fpl_EsriHuffman.cpp:319-451), tree builds, and the
+    batched device Huffman pack. Returns (bytes, sidecar) where sidecar
+    maps plane index -> per-group bit offsets for Huffman planes (the
+    device-decode acceleration index)."""
+    lens_codes = np.zeros((unit_size, 256, 5), np.float32)
     metas: list[tuple] = []
     max_len_all = 1
-    total_bits = [0, 0, 0, 0]
-    for b in range(4):
+    total_bits = [0] * unit_size
+    for b in range(unit_size):
         hst = histos[b]
         if np.count_nonzero(hst) < 2:
             metas.append(("rle", None, None))
@@ -300,20 +310,22 @@ def _encode_fpl_device(data_dev, h, w, d):
         total_bits[b] = int((hst * lengths.astype(np.int64)).sum())
         max_len_all = max(max_len_all, int(lengths.max()))
 
-    streams = None
+    streams = sbits_all = None
     if any(m[0] == "huff" for m in metas):
         pwh = next(p for p in (18, 34, 66)
                    if p >= (device_huffman.GROUP * max_len_all + 31) // 32 + 1)
         need = max(4 * (-(-tb // 32) + 1) for tb in total_bits)
         cap = 1 << max(12, (need + 511).bit_length())
-        streams, _tbs, _sbits = device_fpl.fpl_pack_planes_device(
+        streams, _tbs, sbits_all = device_fpl.fpl_pack_planes_device(
             planes, jnp.asarray(lens_codes), cap, pwh
         )
         streams = np.asarray(streams)
+        sbits_all = np.asarray(sbits_all)
 
     planes_h = None
+    sidecar: dict[int, np.ndarray] = {}
     out = bytearray([pred])
-    for b in range(4):
+    for b in range(unit_size):
         kind, lengths, codes = metas[b]
         if kind == "rle":
             v = int(np.argmax(histos[b]))
@@ -332,10 +344,122 @@ def _encode_fpl_device(data_dev, h, w, d):
             table = huffman.write_code_table(lengths, codes, 5)
             sbytes = 4 * (-(-total_bits[b] // 32) + 1)
             payload = b"\x00" + table + streams[b][:sbytes].tobytes()
+            sidecar[b] = sbits_all[b]
         out += bytes([b, int(levels[b])])
         out += struct.pack("<I", len(payload))
         out += payload
-    return bytes(out)
+    return bytes(out), sidecar
+
+
+def _encode_fpl_device(data_dev, h, w, d, want_sidecar=False):
+    """Device fpl lossless float encode: analysis + plane packing on
+    device, per-plane 256-symbol tree builds and section assembly on host.
+    Mirrors fpl_Lerc2Ext::EncodeHuffmanFlt's wire format
+    (fpl_Lerc2Ext.cpp:405-430); predictor / delta-level / method choices
+    may differ from the reference's sampling (any choice is decodable)."""
+    n = h * w * d
+    pred, levels_dev = device_fpl.fpl_choose_device(data_dev, h, w, d)
+    pred = int(pred)  # static for the finalize variant (3 compiles max)
+    histos, planes, pb_sizes = device_fpl.fpl_finalize_device(
+        data_dev, levels_dev, h, w, d, pred
+    )
+    out, sidecar = _fpl_assemble(
+        pred, np.asarray(levels_dev), np.asarray(histos).astype(np.int64),
+        planes, np.asarray(pb_sizes), n, 4,
+    )
+    return (out, sidecar) if want_sidecar else out
+
+
+def _encode_fpl_device_f64(data_np, h, w, d):
+    """Device fpl lossless DOUBLE encode: the u64 words run as (lo, hi)
+    u32 limb pairs (split-field predictor with a borrow across the limb
+    boundary, fpl_UnitTypes.cpp:119-155 semantics); 8 byte planes through
+    the same analysis/pack machinery as f32."""
+    n = h * w * d
+    bits = np.ascontiguousarray(data_np, dtype=np.float64).reshape(-1).view(np.uint64)
+    lo = jnp.asarray((bits & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((bits >> 32).astype(np.uint32))
+    pred, levels_dev = device_fpl.fpl_choose_device_f64(lo, hi, h, w, d)
+    pred = int(pred)
+    histos, planes, pb_sizes = device_fpl.fpl_finalize_device_f64(
+        lo, hi, levels_dev, h, w, d, pred
+    )
+    out, _ = _fpl_assemble(
+        pred, np.asarray(levels_dev), np.asarray(histos).astype(np.int64),
+        planes, np.asarray(pb_sizes), n, 8,
+    )
+    return out
+
+
+def _decode_fpl_band_device(src, pos, head, sidecar):
+    """Device fpl f32 decode via the encoder's per-plane Huffman group
+    sidecar: Huffman planes decode with decode_stream_device (validated
+    against the decoded code lengths), RLE-const/raw planes materialize
+    directly, PackBits planes decode on host (serial byte protocol,
+    bytes-cheap); restore cumsums, plane reassembly, split-field
+    predictor undo and the float-transform undo all run on device
+    (fpl_Lerc2Ext.cpp:738-866 semantics). Returns [H, W, D] f32 or None
+    when the section needs the host path."""
+    from . import fpl_impl
+
+    h, w, d = head.n_rows, head.n_cols, head.n_depth
+    n = h * w * d
+    pred = src[pos]
+    if pred > 2:
+        raise ValueError("bad fpl predictor code")
+    pos += 1
+    planes = [None] * 4
+    levels = [0] * 4
+    for _ in range(4):
+        byte_index = src[pos]
+        best_level = src[pos + 1]
+        if byte_index >= 4 or best_level > 5:
+            raise ValueError("corrupt fpl plane header")
+        (csize,) = struct.unpack_from("<I", src, pos + 2)
+        pos += 6
+        payload = src[pos : pos + csize]
+        pos += csize
+        levels[byte_index] = int(best_level)
+        method = payload[0]
+        if method == 1:  # RLE-const
+            if struct.unpack_from("<I", payload, 2)[0] != n:
+                raise ValueError("RLE-const size mismatch")
+            planes[byte_index] = jnp.full(n, payload[1], jnp.uint8)
+        elif method == 2:  # raw
+            planes[byte_index] = jnp.asarray(
+                np.frombuffer(payload[1 : 1 + n], np.uint8))
+        elif method == 3:  # PackBits: host decode
+            planes[byte_index] = jnp.asarray(
+                fpl_impl.decode_packbits(payload[1:], n))
+        elif method == 0:  # Huffman via the group sidecar
+            sb = sidecar.get(int(byte_index)) if sidecar else None
+            if sb is None:
+                return None  # foreign blob: host path
+            lengths, codes, used = huffman.read_code_table(payload[1:], 5)
+            max_len = int(lengths.max(initial=0))
+            if (max_len == 0
+                    or np.asarray(sb).shape[0] != -(-n // device_huffman.GROUP)):
+                return None
+            consts, sorted_syms = device_huffman.canonical_decode_consts(
+                lengths, codes)
+            stream_np = np.frombuffer(payload[1 + used :], np.uint8)
+            cap = -(-max(stream_np.size, 512) // 512) * 512
+            sp = np.zeros(cap, np.uint8)
+            sp[: stream_np.size] = stream_np
+            lanes = np.zeros((16, 16, 1), np.float32)
+            lanes[:, :, 0] = sorted_syms.reshape(16, 16)
+            syms, _used_bits, ok = device_huffman.decode_stream_device(
+                jnp.asarray(sp), jnp.asarray(np.asarray(sb, np.int32)),
+                jnp.asarray(consts), jnp.asarray(lanes), n, max_len,
+            )
+            if not bool(ok):
+                raise ValueError("fpl Huffman sidecar inconsistent with stream")
+            planes[byte_index] = syms
+        else:
+            raise ValueError("unknown fpl plane method")
+    return device_fpl.fpl_restore_device(
+        jnp.stack(planes), h, w, d, int(pred), tuple(levels)
+    )
 
 
 def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
@@ -518,6 +642,14 @@ def decode_band_device(
                 img = _decode_huffman_band_device(
                     src, pos, head, ImageEncodeMode(flag), index["huffman_sbits"]
                 )
+                if img is not None:
+                    out.data = np.asarray(img)
+                    return out
+            if (index is not None and index.get("fpl_sbits") is not None
+                    and head.try_huffman_flt() and flag == 3
+                    and head.dt == DataType.FLOAT
+                    and head.num_valid_pixel == h * w):
+                img = _decode_fpl_band_device(src, pos, head, index["fpl_sbits"])
                 if img is not None:
                     out.data = np.asarray(img)
                     return out

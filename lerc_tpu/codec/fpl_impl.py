@@ -257,14 +257,20 @@ def compress_plane(plane: np.ndarray) -> bytes:
 
 
 def extract_plane(buf: memoryview, expected: int) -> np.ndarray:
+    if len(buf) < 1:
+        raise ValueError("empty fpl plane payload")
     method = buf[0]
     if method == _M_RLE:
+        if len(buf) < 6:
+            raise ValueError("truncated RLE-const plane")
         val = buf[1]
         (count,) = struct.unpack_from("<I", buf, 2)
         if count != expected:
             raise ValueError("RLE-const size mismatch")
         return np.full(expected, val, dtype=np.uint8)
     if method == _M_RAW:
+        if len(buf) - 1 < expected:
+            raise ValueError("truncated raw plane")
         return np.frombuffer(buf[1 : 1 + expected], dtype=np.uint8).copy()
     if method == _M_PACKBITS:
         return decode_packbits(buf[1:], expected)
@@ -342,18 +348,24 @@ def decode_slice(src: memoryview, w: int, h: int, is_double: bool) -> np.ndarray
     """Returns [h, w] uint32/uint64 words (float transform already undone)."""
     unit_size = 8 if is_double else 4
     expected = w * h
+    if len(src) < 1:
+        raise ValueError("truncated fpl section")
     pred = src[0]
     if pred > 2:
         raise ValueError("bad fpl predictor code")
     pos = 1
     planes = np.zeros((expected, unit_size), dtype=np.uint8)
     for _ in range(unit_size):
+        if len(src) - pos < 6:
+            raise ValueError("truncated fpl plane header")
         byte_index = src[pos]
         best_level = src[pos + 1]
         if byte_index >= unit_size or best_level > MAX_DELTA:
             raise ValueError("corrupt fpl plane header")
         (csize,) = struct.unpack_from("<I", src, pos + 2)
         pos += 6
+        if csize < 1 or len(src) - pos < csize:
+            raise ValueError("truncated fpl plane payload")
         plane = extract_plane(src[pos : pos + csize], expected)
         pos += csize
         planes[:, byte_index] = restore_sequence(plane, best_level)

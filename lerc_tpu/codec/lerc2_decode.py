@@ -102,8 +102,8 @@ def decode_band(
     # ---- mask section (Lerc2.cpp:961-1008)
     num_bytes_mask = int.from_bytes(src[pos : pos + 4], "little", signed=True)
     pos += 4
-    if num_bytes_mask < 0:
-        raise ValueError("negative mask size")
+    if num_bytes_mask < 0 or num_bytes_mask > len(src) - pos:
+        raise ValueError("bad mask section size")
     num_total = n_rows * n_cols
     if (hd.num_valid_pixel in (0, num_total)) and num_bytes_mask != 0:
         raise ValueError("unexpected mask bytes")
@@ -140,6 +140,8 @@ def decode_band(
             _fill_const(out)
             return out
 
+    if pos >= len(src):
+        raise ValueError("truncated blob: missing flag bytes")
     read_one_sweep = src[pos]
     pos += 1
 
@@ -148,6 +150,8 @@ def decode_band(
         return out
 
     if hd.try_huffman_int() or hd.try_huffman_flt():
+        if pos >= len(src):
+            raise ValueError("truncated blob: missing image-mode byte")
         flag = src[pos]
         pos += 1
         if flag > 3 or (flag > 2 and hd.version < 6) or (flag > 1 and hd.version < 4):
@@ -230,6 +234,8 @@ def _read_tile(
     src, pos, out, i0, i1, j0, j1, idepth, block_mask, n_valid, np_dt, dt_is_int, inv_scale
 ):
     hd = out.hd
+    if pos >= len(src):
+        raise ValueError("truncated tile stream")
     compr_flag = src[pos]
     pos += 1
     b_diff = (hd.version >= 5) and bool(compr_flag & 4)

@@ -186,6 +186,181 @@ def fpl_finalize_device(data, levels, h: int, w: int, d: int, pred: int):
     return jnp.stack(histos), jnp.stack(planes), jnp.stack(pb_sizes)
 
 
+# ---------------------------------------------------------------------------
+# device fpl DECODE (f32): per-plane payloads -> restore_sequence cumsums ->
+# plane reassembly -> split-field predictor undo -> float transform undo.
+# Huffman planes decode via decode_stream_device (per-group bit-offset
+# sidecar); PackBits planes decode on host (serial byte protocol, cheap).
+# ---------------------------------------------------------------------------
+
+def _mask_u32(nbits: int) -> jnp.uint32:
+    return jnp.uint32((1 << nbits) - 1)
+
+
+def _cumsum_mod_dev(x, nbits: int, axis: int):
+    """Exact elementwise cumsum of nbits-wide lanes mod 2^nbits.
+
+    int32 cumsums overflow past ~2^31/range elements, so the field splits
+    into 6-bit limbs whose cumsums stay exact up to 2^25 elements per
+    axis; limb sums recombine mod 2^nbits (shift-masked so u32 lanes
+    never overflow)."""
+    assert x.shape[axis] <= (1 << 25)
+    out = jnp.zeros(x.shape, jnp.uint32)
+    for k in range(0, nbits, 6):
+        limb = (x >> jnp.uint32(k)) & _mask_u32(min(6, nbits - k))
+        c = jnp.cumsum(limb.astype(jnp.int32), axis=axis).astype(jnp.uint32)
+        out = out + ((c & _mask_u32(nbits - k)) << jnp.uint32(k))
+    return out & _mask_u32(nbits)
+
+
+def split_cumsum_dev(img, axis: int):
+    """Split-field f32 cumulative sum: mantissa (23b) and exp+sign (9b)
+    accumulate independently mod their widths (fpl_UnitTypes.cpp
+    restore arithmetic)."""
+    mant = _cumsum_mod_dev(img & _MANT, 23, axis)
+    eh = _cumsum_mod_dev(img >> jnp.uint32(23), 9, axis)
+    return mant | (eh << jnp.uint32(23))
+
+
+def undo_float_transform_dev(u):
+    mant = u & _MANT
+    ae = (u >> jnp.uint32(24)) & jnp.uint32(0xFF)
+    sign = (u >> jnp.uint32(23)) & jnp.uint32(1)
+    return mant | (ae << jnp.uint32(23)) | (sign << jnp.uint32(31))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "pred", "levels"))
+def fpl_restore_device(planes, h: int, w: int, d: int, pred: int,
+                       levels: tuple):
+    """planes [4, N] u8 (decompressed payload bytes, plane order 0..3) ->
+    [H, W, D] float32. pred and per-plane delta levels are static (parsed
+    from the tiny wire headers)."""
+    rows, cols = _slice_shape(h, w, d)
+    n = planes.shape[1]
+    restored = []
+    for b in range(4):
+        p = planes[b].astype(jnp.uint32)
+        for lev in range(levels[b], 0, -1):
+            # restore_sequence inner step: out[lev-1:] = cumsum(out[lev-1:])
+            # mod 256; zeros before the segment make a full-array cumsum
+            # equal the segment cumsum
+            seg = jnp.where(jnp.arange(n, dtype=jnp.int32) >= lev - 1, p, 0)
+            c = _cumsum_mod_dev(seg, 8, 0)
+            p = jnp.where(jnp.arange(n, dtype=jnp.int32) >= lev - 1, c, p)
+        restored.append(p)
+    word = (restored[0] | (restored[1] << 8) | (restored[2] << 16)
+            | (restored[3] << 24))
+    img = word.reshape(rows, cols)
+    if pred == 1:
+        img = split_cumsum_dev(img, 1)
+    elif pred == 2:
+        img = split_cumsum_dev(split_cumsum_dev(img, 0), 1)
+    flat = undo_float_transform_dev(img.reshape(-1))
+    out = jax.lax.bitcast_convert_type(flat, jnp.float32)
+    if d > 1:  # slice geometry: [H*W, D]
+        return out.reshape(h, w, d)
+    return out.reshape(h, w)[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# device fpl f64 lossless ENCODE: u64 words as (lo32, hi32) u32 limb pairs.
+# No float transform for doubles (fpl_Lerc2Ext encodes raw f64 bits);
+# split-field arithmetic deltas the 52-bit mantissa (borrow across the
+# limb boundary) and the 12-bit exp+sign independently.
+# ---------------------------------------------------------------------------
+
+_MANT_HI20 = jnp.uint32(0xFFFFF)
+
+
+def split_sub64_dev(alo, ahi, blo, bhi):
+    d_lo = alo - blo
+    borrow = (alo < blo).astype(jnp.uint32)
+    d_hi = (ahi & _MANT_HI20) - (bhi & _MANT_HI20) - borrow
+    eh = ((ahi >> jnp.uint32(20)) - (bhi >> jnp.uint32(20))) & jnp.uint32(0xFFF)
+    return d_lo, (d_hi & _MANT_HI20) | (eh << jnp.uint32(20))
+
+
+def apply_predictor64_dev(lo, hi, pred: int):
+    """lo/hi [rows, cols] u32 limb images; pred 0/1/2 static."""
+    if pred == 0:
+        return lo, hi
+    d_lo, d_hi = split_sub64_dev(lo[:, 1:], hi[:, 1:], lo[:, :-1], hi[:, :-1])
+    lo1 = jnp.concatenate([lo[:, :1], d_lo], axis=1)
+    hi1 = jnp.concatenate([hi[:, :1], d_hi], axis=1)
+    if pred == 1:
+        return lo1, hi1
+    d_lo, d_hi = split_sub64_dev(lo1[1:, :], hi1[1:, :], lo1[:-1, :], hi1[:-1, :])
+    return (jnp.concatenate([lo1[:1, :], d_lo], axis=0),
+            jnp.concatenate([hi1[:1, :], d_hi], axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d"))
+def fpl_choose_device_f64(lo, hi, h: int, w: int, d: int):
+    """(pred i32, levels [8] i32) for f64 lossless from sampled rows."""
+    rows, cols = _slice_shape(h, w, d)
+    lo_i = lo.reshape(rows, cols)
+    hi_i = hi.reshape(rows, cols)
+    target = max(1, (rows * cols) // (1 << 19))
+    stride = 1
+    for p in (1, 3, 7, 13, 31, 61, 127, 251):
+        if p <= target:
+            stride = p
+    lo_i, hi_i = lo_i[::stride, :], hi_i[::stride, :]
+
+    ests, per_pred_levels = [], []
+    for pi in (0, 1, 2):
+        tl, th = apply_predictor64_dev(lo_i, hi_i, pi)
+        tl, th = tl.reshape(-1), th.reshape(-1)
+        max_delta_eff = 5 - (0 if pi == 0 else (1 if pi == 1 else 2))
+        est = jnp.float32(0)
+        levels_p = []
+        for b in range(8):
+            src = tl if b < 4 else th
+            plane = (src >> (8 * (b % 4))) & 0xFF
+            derivs = [plane]
+            for k in range(1, MAX_DELTA + 1):
+                derivs.append(_byte_deriv1(derivs[-1], k))
+            es = jnp.stack([
+                _entropy_bits(device_huffman.histogram256(
+                    derivs[k][::7].astype(jnp.uint8)))
+                if k <= max_delta_eff else jnp.inf
+                for k in range(MAX_DELTA + 1)
+            ])
+            levels_p.append(jnp.argmin(es).astype(jnp.int32))
+            est = est + es.min()
+        ests.append(est)
+        per_pred_levels.append(jnp.stack(levels_p))
+    pred = jnp.argmin(jnp.stack(ests)).astype(jnp.int32)
+    levels = jnp.where(
+        pred == 0, per_pred_levels[0],
+        jnp.where(pred == 1, per_pred_levels[1], per_pred_levels[2]),
+    )
+    return pred, levels
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "pred"))
+def fpl_finalize_device_f64(lo, hi, levels, h: int, w: int, d: int, pred: int):
+    """Full-size f64 pass for a STATIC predictor.
+    Returns (histos [8,256] u32, planes [8,N] u8, pb_sizes [8] i32)."""
+    rows, cols = _slice_shape(h, w, d)
+    tl, th = apply_predictor64_dev(lo.reshape(rows, cols), hi.reshape(rows, cols), pred)
+    tl, th = tl.reshape(-1), th.reshape(-1)
+
+    histos, planes, pb_sizes = [], [], []
+    for b in range(8):
+        src = tl if b < 4 else th
+        plane = (src >> (8 * (b % 4))) & 0xFF
+        final = plane
+        cur = plane
+        for k in range(1, MAX_DELTA + 1):
+            cur = _byte_deriv1(cur, k)
+            final = jnp.where(levels[b] == k, cur, final)
+        histos.append(device_huffman.histogram256(final.astype(jnp.uint8)))
+        pb_sizes.append(packbits_size_device(final))
+        planes.append(final.astype(jnp.uint8))
+    return jnp.stack(histos), jnp.stack(planes), jnp.stack(pb_sizes)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "pwh"))
 def fpl_pack_planes_device(planes, lens_codes, cap: int, pwh: int):
     """Batched Huffman packing of the 4 byte planes.

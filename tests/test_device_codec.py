@@ -103,7 +103,7 @@ def test_fallback_routing():
     from lerc_tpu.constants import DataType
 
     assert supports_encode(DataType.DOUBLE, 0.1, 1)  # lossy f64 (double-single)
-    assert not supports_encode(DataType.DOUBLE, 0.0, 1)  # lossless f64 -> host fpl
+    assert supports_encode(DataType.DOUBLE, 0.0, 1)  # lossless f64 (fpl limb pairs)
     assert supports_encode(DataType.BYTE, 0.0, 1)  # device Huffman
     assert supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)  # masked too
     assert supports_encode(DataType.FLOAT, 0.0, 1)  # device fpl lossless
@@ -407,11 +407,22 @@ def test_device_f64_masked_depth():
         np.testing.assert_array_equal(ref[mask], res.data[0][mask])
 
 
-def test_device_f64_lossless_routes_to_host():
-    from lerc_tpu.constants import DataType
-
-    assert not supports_encode(DataType.DOUBLE, 0.0, 1)
-    assert supports_encode(DataType.DOUBLE, 0.01, 1)
+def test_device_f64_lossless_fpl():
+    """f64 lossless encodes on device via the fpl limb-pair pipeline:
+    bit-exact through the host decoder and the reference library
+    (VERDICT r1 item 5)."""
+    rng = np.random.default_rng(91)
+    data = (make(np.float64, d=1) * np.pi + 1e-9 * rng.standard_normal((H, W, 1)))
+    blob = encode_band_device(data.copy(), None, 0.0, verify=True)
+    res = decode_blob(blob)
+    np.testing.assert_array_equal(res.data[0], data)
+    ref = oracle.decode(blob)[0].reshape(H, W, 1)
+    np.testing.assert_array_equal(ref, data)
+    # masked + depth
+    d2 = np.concatenate([data, data * 0.5], axis=2)
+    blob2 = encode_band_device(d2.copy(), MASK, 0.0, verify=True)
+    res2 = decode_blob(blob2)
+    np.testing.assert_array_equal(res2.data[0][MASK], d2[MASK])
 
 
 def test_device_depth_diff_int_lossless():
@@ -517,3 +528,29 @@ def test_device_huffman_decode_depth3():
     np.testing.assert_array_equal(out.data, img)
     ref = oracle.decode(blob)[0].reshape(h, w, d)
     np.testing.assert_array_equal(ref, img)
+
+
+def test_device_fpl_decode_sidecar():
+    """Device fpl f32 DECODE via the per-plane Huffman group sidecar:
+    bit-exact, tamper-detected, host fallback without the sidecar
+    (VERDICT r1 item 5)."""
+    rng = np.random.default_rng(92)
+    x, y = np.meshgrid(np.linspace(0, 3, 104), np.linspace(0, 2, 96))
+    f = (1000 * np.exp(-((x - 1.5) ** 2 + (y - 1) ** 2))
+         + 1e-3 * rng.standard_normal((96, 104))).astype(np.float32)
+    blob, idx = encode_band_device(f[:, :, None].copy(), None, 0.0,
+                                   return_index=True)
+    if idx is None or "fpl_sbits" not in idx:
+        pytest.skip("fpl not selected for this data")
+    out = decode_band_device(blob, index=idx)
+    assert out is not None, "device fpl decode fell back"
+    np.testing.assert_array_equal(out.data[:, :, 0], f)
+    # foreign blob: host path
+    assert decode_band_device(blob) is None
+    # tampered sidecar fails loudly
+    bad = {"fpl_sbits": {k: v.copy() for k, v in idx["fpl_sbits"].items()}}
+    k0 = next(iter(bad["fpl_sbits"]))
+    if bad["fpl_sbits"][k0].shape[0] > 3:
+        bad["fpl_sbits"][k0][2] += 4
+        with pytest.raises(ValueError):
+            decode_band_device(blob, index=bad)
