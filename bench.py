@@ -118,6 +118,40 @@ def bench_ours(rounds=4):
     return best_enc, best_dec, blob_bytes
 
 
+def bench_masked(rounds=3):
+    """Masked variant (VERDICT r1 item 4): ~8% invalid pixels (hole +
+    speckle) through the masked fast path, one tile, chained."""
+    tile = make_tiles()[0]
+    rng = np.random.default_rng(0)
+    mask = np.ones((TILE, TILE), bool)
+    mask[300:800, 500:1500] = False
+    mask[rng.random((TILE, TILE)) > 0.98] = False
+    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                               nb_cap=16, mask=mask)
+    out = codec._encode_fused(tile)
+    if not int(np.asarray(out[2])[2]):
+        return None
+    dec = codec._decode_fused_fast(out[0], out[1], out[3])
+    np.asarray(dec[1])
+    CHAIN = 8
+    best_enc = best_dec = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(CHAIN):
+            out = codec._encode_fused(tile)
+        np.asarray(out[2])
+        t1 = time.perf_counter()
+        for _ in range(CHAIN):
+            dec = codec._decode_fused_fast(out[0], out[1], out[3])
+        ok = np.asarray(dec[1])
+        t2 = time.perf_counter()
+        best_enc = min(best_enc, (t1 - t0) / CHAIN)
+        best_dec = min(best_dec, (t2 - t1) / CHAIN)
+    assert ok.all(), "masked checksum/index verification failed"
+    mb = TILE * TILE * 4 / 1e6
+    return round(mb / best_enc, 1), round(mb / best_dec, 1)
+
+
 def bench_reference(rounds=4):
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -159,6 +193,10 @@ def main():
     else:
         baseline = PUBLISHED_BASELINE_MBS
         extra = {}
+
+    masked = bench_masked()
+    if masked is not None:
+        extra["masked_encode_MBps"], extra["masked_decode_MBps"] = masked
 
     result = {
         "metric": "encode+decode MB/s/chip (float32 4096x4096 DEM as 2048^2 tiles, maxZError=0.001)",

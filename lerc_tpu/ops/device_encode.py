@@ -457,12 +457,37 @@ def encode_tiles(
     cnt = vb.sum(axis=1).astype(jnp.int32)  # [nB] <= bs
     cw = jnp.where(cnt < 256, 1, 2)  # count byte width (2 only for full 16x16)
 
-    # compaction permutation: valid positions first, stable. Even in the
-    # all-valid case edge blocks need compaction (padding positions are
-    # interleaved row-major when H or W is not a multiple of 8).
+    # compaction: valid positions first, stable. Even in the all-valid
+    # case edge blocks need compaction (padding positions are interleaved
+    # row-major when H or W is not a multiple of 8). One-hot MXU routing:
+    # take_along_axis costs ~42 ms/65K records on v5e vs ~2 ms for the
+    # batched one-hot dot. The one-hot depends only on the mask, so it is
+    # built once and reused across depths and value arrays.
     aligned_all_valid = all_valid and h % mb == 0 and w % mb == 0
     if not aligned_all_valid:
-        perm = jnp.argsort(~vb, axis=1, stable=True).astype(jnp.int32)
+        rank_c = jnp.cumsum(vb, axis=1).astype(jnp.int32) - 1
+        slots_c = jnp.arange(bs, dtype=jnp.int32)
+        oh_c = (jnp.where(vb, rank_c, -1)[:, :, None] == slots_c[None, None, :]
+                ).astype(jnp.bfloat16)
+
+        def _compact_u32(*arrs):
+            """Route valid positions of u32 arrays to their rank slots in
+            ONE batched dot (4 byte lanes per array, exact)."""
+            lanes = jnp.stack(
+                [((a >> (8 * b)) & 0xFF).astype(jnp.bfloat16)
+                 for a in arrs for b in range(4)], axis=2,
+            )  # [nB, bs, 4*len(arrs)]
+            s = jax.lax.dot_general(
+                oh_c, lanes, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint32)  # [nB, bs(slots), lanes]
+            outs = []
+            for i in range(len(arrs)):
+                o = jnp.zeros((n_blocks, bs), jnp.uint32)
+                for b in range(4):
+                    o = o | (s[:, :, 4 * i + b] << (8 * b))
+                outs.append(o)
+            return outs
 
     # per-block j0 for the integrity bits
     j0 = (jnp.arange(n_blocks, dtype=jnp.int32) % nbh) * mb
@@ -520,15 +545,15 @@ def encode_tiles(
             zmin_store = zmin
 
         q = jnp.where(vb, q, 0)
+        if is_int:
+            xu = xb.astype(jnp.int32).astype(jnp.uint32)
+        else:
+            xu = jax.lax.bitcast_convert_type(xb.astype(jnp.float32), jnp.uint32)
         if aligned_all_valid:
             cq = q
-            cx = xb
+            cu = xu
         else:
-            cq = jnp.take_along_axis(q, perm, axis=1)
-            pos = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
-            cq = jnp.where(pos < cnt[:, None], cq, 0)  # zero the tail
-            cx = jnp.take_along_axis(xb, perm, axis=1)
-            cx = jnp.where(pos < cnt[:, None], cx, 0)
+            cq, cu = _compact_u32(q, jnp.where(vb, xu, 0))
 
         max_q = cq.max(axis=1)
         nb = _bit_len(max_q)
@@ -577,9 +602,7 @@ def encode_tiles(
             if aligned_all_valid:
                 cqd = qd
             else:
-                posd = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
-                cqd = jnp.take_along_axis(qd, perm, axis=1)
-                cqd = jnp.where(posd < cnt[:, None], cqd, 0)
+                (cqd,) = _compact_u32(qd)
             max_qd = cqd.max(axis=1)
             nbd = _bit_len(max_qd)
             tc_d, off_w_d = _reduce_offset_int(zmin_df, DataType.INT)
@@ -698,17 +721,14 @@ def encode_tiles(
             axis=1,
         )
 
-        # ---- raw payload words (compacted native values, LE at byte 1)
+        # ---- raw payload words (compacted native u32 values, LE at byte 1)
         if size_t == 4:
-            if is_int:
-                rw = cx.astype(jnp.int32).astype(jnp.uint32)
-            else:
-                rw = jax.lax.bitcast_convert_type(cx.astype(jnp.float32), jnp.uint32)
+            rw = cu
         elif size_t == 2:
-            u = cx.astype(jnp.int32).astype(jnp.uint32) & 0xFFFF
+            u = cu & 0xFFFF
             rw = u[:, 0::2] | (u[:, 1::2] << 16)
         else:
-            u = cx.astype(jnp.int32).astype(jnp.uint32) & 0xFF
+            u = cu & 0xFF
             rw = u[:, 0::4] | (u[:, 1::4] << 8) | (u[:, 2::4] << 16) | (u[:, 3::4] << 24)
         nrw = rw.shape[1]
         rwp = jnp.concatenate(
