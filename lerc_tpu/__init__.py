@@ -36,4 +36,4 @@ from .api import (
 from .codec.encode_orchestrator import set_acceleration
 from .constants import DataType, ErrCode
 
-__version__ = "0.9.0"
+__version__ = "0.10.0"
