@@ -167,7 +167,8 @@ def encode_band_device(
             return assemble(ranges, b"")
 
     if f64_lossless:
-        payload = _encode_fpl_device_f64(data_np, h, w, d)
+        payload, f64_fpl_sidecar = _encode_fpl_device_f64(
+            data_np, h, w, d, want_sidecar=True)
         n_bytes_data = len(payload)
         n_bytes_tiling = 1 << 60  # suppresses the 16x16 retrial gates
         image_mode = ImageEncodeMode.DELTA_DELTA_HUFFMAN
@@ -194,7 +195,7 @@ def encode_band_device(
                 image_mode, hbytes, huffman_sbits = hm
                 payload = hbytes
                 n_bytes_data = n_bytes_huffman
-    fpl_sidecar = None
+    fpl_sidecar = f64_fpl_sidecar if f64_lossless else None
     if head.try_huffman_flt() and dt == DataType.FLOAT:
         # fpl lossless float (v6): accepted only when >= 10% smaller than
         # tiling (Lerc2.cpp:322)
@@ -370,7 +371,7 @@ def _encode_fpl_device(data_dev, h, w, d, want_sidecar=False):
     return (out, sidecar) if want_sidecar else out
 
 
-def _encode_fpl_device_f64(data_np, h, w, d):
+def _encode_fpl_device_f64(data_np, h, w, d, want_sidecar=False):
     """Device fpl lossless DOUBLE encode: the u64 words run as (lo, hi)
     u32 limb pairs (split-field predictor with a borrow across the limb
     boundary, fpl_UnitTypes.cpp:119-155 semantics); 8 byte planes through
@@ -384,11 +385,11 @@ def _encode_fpl_device_f64(data_np, h, w, d):
     histos, planes, pb_sizes = device_fpl.fpl_finalize_device_f64(
         lo, hi, levels_dev, h, w, d, pred
     )
-    out, _ = _fpl_assemble(
+    out, sidecar = _fpl_assemble(
         pred, np.asarray(levels_dev), np.asarray(histos).astype(np.int64),
         planes, np.asarray(pb_sizes), n, 8,
     )
-    return out
+    return (out, sidecar) if want_sidecar else out
 
 
 def _decode_fpl_band_device(src, pos, head, sidecar):
@@ -404,16 +405,17 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
 
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     n = h * w * d
+    unit_size = 8 if head.dt == DataType.DOUBLE else 4
     pred = src[pos]
     if pred > 2:
         raise ValueError("bad fpl predictor code")
     pos += 1
-    planes = [None] * 4
-    levels = [0] * 4
-    for _ in range(4):
+    planes = [None] * unit_size
+    levels = [0] * unit_size
+    for _ in range(unit_size):
         byte_index = src[pos]
         best_level = src[pos + 1]
-        if byte_index >= 4 or best_level > 5:
+        if byte_index >= unit_size or best_level > 5:
             raise ValueError("corrupt fpl plane header")
         (csize,) = struct.unpack_from("<I", src, pos + 2)
         pos += 6
@@ -457,6 +459,13 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
             planes[byte_index] = syms
         else:
             raise ValueError("unknown fpl plane method")
+    if head.dt == DataType.DOUBLE:
+        lo, hi = device_fpl.fpl_restore_device_f64(
+            jnp.stack(planes), h, w, d, int(pred), tuple(levels)
+        )
+        bits = (np.asarray(lo).astype(np.uint64)
+                | (np.asarray(hi).astype(np.uint64) << 32))
+        return bits.view(np.float64).reshape(h, w, d)
     return device_fpl.fpl_restore_device(
         jnp.stack(planes), h, w, d, int(pred), tuple(levels)
     )
@@ -579,7 +588,14 @@ def decode_band_device(
         head, pos = hdr.read_header(src)
     except ValueError:
         return None
-    if head.dt == DataType.DOUBLE or head.micro_block_size != 8:
+    if head.micro_block_size != 8:
+        return None
+    if head.dt == DataType.DOUBLE and not (
+        index is not None and index.get("fpl_sbits") is not None
+        and head.try_huffman_flt()
+    ):
+        # f64 tiling needs exact-f64 dequantization: host path. Only the
+        # fpl sidecar route (lossless, device limb-pair restore) stays.
         return None
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     np_dt = DT_TO_NUMPY[head.dt]
@@ -647,13 +663,14 @@ def decode_band_device(
                     return out
             if (index is not None and index.get("fpl_sbits") is not None
                     and head.try_huffman_flt() and flag == 3
-                    and head.dt == DataType.FLOAT
                     and head.num_valid_pixel == h * w):
                 img = _decode_fpl_band_device(src, pos, head, index["fpl_sbits"])
                 if img is not None:
                     out.data = np.asarray(img)
                     return out
             return None  # huffman / fpl / masked-huffman -> host path
+    if head.dt == DataType.DOUBLE:
+        return None  # f64 tiling: exact-f64 dequantization on host
 
     # native record scan over the tile stream
     nbv, nbh = -(-h // 8), -(-w // 8)

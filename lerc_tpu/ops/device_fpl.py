@@ -361,6 +361,73 @@ def fpl_finalize_device_f64(lo, hi, levels, h: int, w: int, d: int, pred: int):
     return jnp.stack(histos), jnp.stack(planes), jnp.stack(pb_sizes)
 
 
+def _cumsum_mod52_pair(lo, hi20, axis: int):
+    """Exact cumulative sum of 52-bit mantissas mod 2^52 over (lo32,
+    hi20) u32 limb pairs: 6-bit sub-limbs cumsum in int32, recombined
+    into two 26-bit accumulators with one carry propagation."""
+    assert lo.shape[axis] <= (1 << 25)
+    m26 = jnp.uint32((1 << 26) - 1)
+    a0 = jnp.zeros(lo.shape, jnp.uint32)
+    a1 = jnp.zeros(lo.shape, jnp.uint32)
+    for k in range(0, 52, 6):
+        width = min(6, 52 - k)
+        if k + width <= 32:
+            limb = (lo >> jnp.uint32(k)) & _mask_u32(width)
+        elif k >= 32:
+            limb = (hi20 >> jnp.uint32(k - 32)) & _mask_u32(width)
+        else:  # straddles the 32-bit boundary
+            n_lo = 32 - k
+            limb = ((lo >> jnp.uint32(k))
+                    | ((hi20 & _mask_u32(width - n_lo)) << jnp.uint32(n_lo)))
+        c = jnp.cumsum(limb.astype(jnp.int32), axis=axis).astype(jnp.uint32)
+        cm = c & _mask_u32(min(52 - k, 31))  # mod 2^(52-k), capped at u32
+        if k < 26:
+            a0 = a0 + ((cm << jnp.uint32(k)) & m26)
+            a1 = a1 + (cm >> jnp.uint32(26 - k))
+        else:
+            a1 = a1 + ((cm << jnp.uint32(k - 26)) & m26)
+    a1 = (a1 + (a0 >> jnp.uint32(26))) & m26
+    a0 = a0 & m26
+    out_lo = a0 | (a1 << jnp.uint32(26))
+    out_hi = a1 >> jnp.uint32(6)
+    return out_lo, out_hi
+
+
+def split_cumsum64_dev(lo, hi, axis: int):
+    """Split-field f64 cumulative sum over u32 limb pairs: 52-bit mantissa
+    and 12-bit exp+sign accumulate independently mod their widths."""
+    mant_lo, mant_hi = _cumsum_mod52_pair(lo, hi & _MANT_HI20, axis)
+    eh = _cumsum_mod_dev(hi >> jnp.uint32(20), 12, axis)
+    return mant_lo, mant_hi | (eh << jnp.uint32(20))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "d", "pred", "levels"))
+def fpl_restore_device_f64(planes, h: int, w: int, d: int, pred: int,
+                           levels: tuple):
+    """planes [8, N] u8 -> ((lo, hi) u32 limb pairs flat, pixel-major
+    depth-inner). No float transform for doubles; host views the pair as
+    f64 bits."""
+    rows, cols = _slice_shape(h, w, d)
+    n = planes.shape[1]
+    restored = []
+    for b in range(8):
+        p = planes[b].astype(jnp.uint32)
+        for lev in range(levels[b], 0, -1):
+            seg = jnp.where(jnp.arange(n, dtype=jnp.int32) >= lev - 1, p, 0)
+            c = _cumsum_mod_dev(seg, 8, 0)
+            p = jnp.where(jnp.arange(n, dtype=jnp.int32) >= lev - 1, c, p)
+        restored.append(p)
+    lo = (restored[0] | (restored[1] << 8) | (restored[2] << 16)
+          | (restored[3] << 24)).reshape(rows, cols)
+    hi = (restored[4] | (restored[5] << 8) | (restored[6] << 16)
+          | (restored[7] << 24)).reshape(rows, cols)
+    if pred >= 1:
+        if pred == 2:
+            lo, hi = split_cumsum64_dev(lo, hi, 0)
+        lo, hi = split_cumsum64_dev(lo, hi, 1)
+    return lo.reshape(-1), hi.reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "pwh"))
 def fpl_pack_planes_device(planes, lens_codes, cap: int, pwh: int):
     """Batched Huffman packing of the 4 byte planes.

@@ -554,3 +554,31 @@ def test_device_fpl_decode_sidecar():
         bad["fpl_sbits"][k0][2] += 4
         with pytest.raises(ValueError):
             decode_band_device(blob, index=bad)
+
+
+def test_device_fpl_f64_decode_sidecar():
+    """Device fpl f64 DECODE via the per-plane sidecar: limb-pair restore
+    cumsums (52-bit mantissa mod arithmetic), bit-exact; tampering raises;
+    f64 tiling blobs keep the host path."""
+    rng = np.random.default_rng(93)
+    x, y = np.meshgrid(np.linspace(0, 3, 104), np.linspace(0, 2, 96))
+    f = (1000 * np.exp(-((x - 1.5) ** 2 + (y - 1) ** 2)) * np.pi
+         + 1e-6 * rng.standard_normal((96, 104))).astype(np.float64)
+    blob, idx = encode_band_device(f[:, :, None].copy(), None, 0.0,
+                                   return_index=True)
+    if idx is None or "fpl_sbits" not in idx:
+        pytest.skip("fpl not selected")
+    out = decode_band_device(blob, index=idx)
+    assert out is not None, "device f64 fpl decode fell back"
+    np.testing.assert_array_equal(out.data[:, :, 0], f)
+    ref = oracle.decode(blob)[0].reshape(96, 104)
+    np.testing.assert_array_equal(ref, f)
+    bad = {"fpl_sbits": {k: v.copy() for k, v in idx["fpl_sbits"].items()}}
+    k0 = next(iter(bad["fpl_sbits"]))
+    if bad["fpl_sbits"][k0].shape[0] > 3:
+        bad["fpl_sbits"][k0][2] += 4
+        with pytest.raises(ValueError):
+            decode_band_device(blob, index=bad)
+    # lossy f64 tiling: host path (exact-f64 dequantization)
+    b3 = encode_band_device(f[:, :, None].copy(), None, 0.01)
+    assert decode_band_device(b3) is None
