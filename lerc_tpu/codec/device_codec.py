@@ -451,7 +451,8 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
             lanes = np.zeros((16, 16, 1), np.float32)
             lanes[:, :, 0] = sorted_syms.reshape(16, 16)
             syms, _used_bits, ok = device_huffman.decode_stream_device(
-                jnp.asarray(sp), jnp.asarray(np.asarray(sb, np.int32)),
+                jnp.asarray(sp.view(np.uint32)),
+                jnp.asarray(np.asarray(sb, np.int32)),
                 jnp.asarray(consts), jnp.asarray(lanes), n, max_len,
             )
             if not bool(ok):
@@ -556,8 +557,8 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits):
     lanes = np.zeros((16, 16, 1), np.float32)
     lanes[:, :, 0] = sorted_syms.reshape(16, 16)
     syms, _used_bits, ok = device_huffman.decode_stream_device(
-        jnp.asarray(sp), jnp.asarray(sbits), jnp.asarray(consts),
-        jnp.asarray(lanes), n, max_len,
+        jnp.asarray(sp.view(np.uint32)), jnp.asarray(sbits),
+        jnp.asarray(consts), jnp.asarray(lanes), n, max_len,
     )
     if not bool(ok):
         raise ValueError("Huffman sidecar inconsistent with stream")

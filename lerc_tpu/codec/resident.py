@@ -35,8 +35,9 @@ class ResidentBlob:
     starts: jax.Array | None = None  # [nRec] record-offset index (HBM)
 
     def to_bytes(self) -> bytes:
-        """Materialize the standard Lerc2 blob on host."""
-        return self.header + np.asarray(self.stream)[: self.total].tobytes()
+        """Materialize the standard Lerc2 blob on host (the stream may be
+        u8 bytes or u32 words; both serialize to the same LE bytes)."""
+        return self.header + np.asarray(self.stream).tobytes()[: self.total]
 
 
 class ResidentCodec:
@@ -112,12 +113,13 @@ class ResidentCodec:
         stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
             data_dev, mask_arg, jnp.float32(self.mze),
             self.h, self.w, self.d, self.dt, all_valid, self.version, self.cap,
-            nb_cap=self.nb_cap,
+            nb_cap=self.nb_cap, out_u32=True,
         )
         if self.nb_cap and not bool(fits):
             stream, total, zmin_vec, zmax_vec, starts, fits = device_encode.encode_tiles(
                 data_dev, mask_arg, jnp.float32(self.mze),
-                self.h, self.w, self.d, self.dt, all_valid, self.version, self.cap_full,
+                self.h, self.w, self.d, self.dt, all_valid, self.version,
+                self.cap_full, out_u32=True,
             )
         total_i = int(total)
         zmin_vec = np.asarray(zmin_vec, dtype=np.float64)
@@ -206,14 +208,18 @@ class ResidentCodec:
             if not bool(index_ok):
                 raise ValueError("record-offset index inconsistent with stream")
             return img
+        stream8 = blob.stream
+        if stream8.dtype == jnp.uint32:  # scan path works on bytes
+            stream8 = jax.lax.bitcast_convert_type(
+                stream8[:, None], jnp.uint8).reshape(-1)
         (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = (
             device_scan.scan_records_device(
-                blob.stream, self.n_rec, head.dt, head.version, 64
+                stream8, self.n_rec, head.dt, head.version, 64
             )
         )
         all_valid = self._mask_dev is None
         return device_decode.decode_tiles(
-            blob.stream, mode, payload_pos, offset, r_nb, r_ne,
+            stream8, mode, payload_pos, offset, r_nb, r_ne,
             lut_pos, r_nlut, r_nbits_lut,
             self._ones if all_valid else self._mask_dev,
             jnp.float32(head.max_z_error), zmax_arg,
@@ -280,7 +286,7 @@ class FusedResidentCodec(ResidentCodec):
         def encode_fused(data_dev):
             stream, total, zminv, zmaxv, starts, fits = device_encode.encode_tiles(
                 data_dev, mask_arr, jnp.float32(mze), h_, w_, d_, dt_, all_valid,
-                ver, cap, nb_cap=nb_cap,
+                ver, cap, nb_cap=nb_cap, out_u32=True,
             )
             header = tmpl
             # blobSize
@@ -390,11 +396,15 @@ class FusedResidentCodec(ResidentCodec):
                     zmax_vec = (acc << shift).astype(jnp.int32) >> shift
                 else:
                     zmax_vec = acc.astype(jnp.int32)
+            stream8 = stream
+            if stream8.dtype == jnp.uint32:  # scan path works on bytes
+                stream8 = jax.lax.bitcast_convert_type(
+                    stream8[:, None], jnp.uint8).reshape(-1)
             (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = (
-                device_scan.scan_records_device(stream, n_rec, dt_, ver, 64)
+                device_scan.scan_records_device(stream8, n_rec, dt_, ver, 64)
             )
             img = device_decode.decode_tiles(
-                stream, mode, payload_pos, offset, r_nb, r_ne,
+                stream8, mode, payload_pos, offset, r_nb, r_ne,
                 lut_pos, r_nlut, r_nbits_lut,
                 ones, jnp.float32(mze), zmax_vec,
                 h_, w_, d_, dt_, True, False,
@@ -429,4 +439,5 @@ class FusedResidentCodec(ResidentCodec):
 
     def blob_to_bytes(self, header_dev, stream_dev, meta) -> bytes:
         total = int(np.asarray(meta)[0])
-        return np.asarray(header_dev).tobytes() + np.asarray(stream_dev)[:total].tobytes()
+        return (np.asarray(header_dev).tobytes()
+                + np.asarray(stream_dev).tobytes()[:total])

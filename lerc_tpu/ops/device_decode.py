@@ -88,7 +88,10 @@ def decode_tiles_fast(
     sw = 64 if pw + 4 + 63 <= 128 else 32
     assert pw + 4 + (sw - 1) <= 128  # record span must fit a 128-word row
     swb = sw.bit_length() - 1
-    u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    if stream.dtype == jnp.uint32:  # u32-native stream: no relayout
+        u32 = stream
+    else:
+        u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
     nq = u32.shape[0] // sw
     wq = u32.reshape(nq, sw)
     n_k = 128 // sw

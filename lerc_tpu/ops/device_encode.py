@@ -379,7 +379,7 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int, pack=_pack_words):
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "d", "dt", "all_valid", "version", "cap",
-                     "enable_lut", "mb", "nb_cap"),
+                     "enable_lut", "mb", "nb_cap", "out_u32"),
 )
 def encode_tiles(
     data,  # [H, W, D] float32 or int32
@@ -395,6 +395,7 @@ def encode_tiles(
     enable_lut: bool = False,
     mb: int = 8,
     nb_cap: int = 0,
+    out_u32: bool = False,
 ):
     """Returns (out_bytes [cap] u8, total_len, z_min_vec [D], z_max_vec [D],
     starts [nRec] i32, fits bool) -- starts is the record-offset
@@ -845,5 +846,12 @@ def encode_tiles(
                 spans[:, k], mode="drop", indices_are_sorted=True
             )
 
-    stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
+    if out_u32:
+        # u32 lanes end-to-end: the u32->u8 bitcast is a minor-dim-4
+        # relayout (~0.8 ms/9MB on v5e) and consumers (fletcher, decode
+        # windows) pay ~3 ms to bitcast BACK; resident pipelines keep the
+        # stream as words and materialize bytes on host (same LE bytes)
+        stream = out2.reshape(cap_w)
+    else:
+        stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
     return stream, total, jnp.stack(z_min_out), jnp.stack(z_max_out), starts, fits

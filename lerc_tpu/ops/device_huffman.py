@@ -292,7 +292,10 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     sw = 64 if win_w + 63 <= 128 else 32
     swb = sw.bit_length() - 1
 
-    u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+    if stream.dtype == jnp.uint32:  # u32-native: no minor-dim-4 relayout
+        u32 = stream
+    else:
+        u32 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
     nq = u32.shape[0] // sw
     wq = u32.reshape(nq, sw)
     n_k = 128 // sw

@@ -236,30 +236,30 @@ def fletcher32_device(prefix, stream, total):
     # zero bytes of the capacity buffer make the tail word b<<8 for free
     M = m_words.astype(jnp.uint32)
 
+    # u32-native streams skip the u8->u32 bitcast, a minor-dim-4 relayout
+    # that costs ~3 ms per 9 MB on v5e
+    if stream.dtype == jnp.uint32:
+        u32v0 = stream
+    else:
+        u32v0 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
+
     # ---- prefix words (tiny, static length)
     pu = prefix.astype(jnp.uint32)
     if P % 2 == 0:
         pw = (pu[0:P:2] << 8) | pu[1:P:2]
         stream_first_widx = P // 2
-        sbytes = stream
+        x = u32v0
         straddle_w = jnp.zeros((0,), jnp.uint32)
         straddle_i = jnp.zeros((0,), jnp.int32)
     else:
         pw = (pu[0 : P - 1 : 2] << 8) | pu[1 : P - 1 : 2]
         # straddle word: last prefix byte | first stream byte
-        straddle_w = ((pu[P - 1] << 8) | stream[0].astype(jnp.uint32))[None]
+        straddle_w = ((pu[P - 1] << 8) | (u32v0[0] & 0xFF))[None]
         straddle_i = jnp.asarray([(P - 1) // 2], jnp.int32)
         stream_first_widx = (P + 1) // 2
         # shift stream down one byte so u32 lanes align with message words
-        u32v0 = jax.lax.bitcast_convert_type(stream.reshape(-1, 4), jnp.uint32)
         nxt = jnp.concatenate([u32v0[1:], jnp.zeros(1, jnp.uint32)])
-        shifted = (u32v0 >> 8) | (nxt << 24)
-        sbytes = jax.lax.bitcast_convert_type(
-            shifted[:, None], jnp.uint8
-        ).reshape(-1)
-
-    # ---- stream words from aligned u32 lanes
-    x = jax.lax.bitcast_convert_type(sbytes.reshape(-1, 4), jnp.uint32)
+        x = (u32v0 >> 8) | (nxt << 24)
     we = ((x & 0xFF) << 8) | ((x >> 8) & 0xFF)        # bytes (4k, 4k+1)
     wo = (((x >> 16) & 0xFF) << 8) | (x >> 24)        # bytes (4k+2, 4k+3)
     k = jnp.arange(x.shape[0], dtype=jnp.int32)

@@ -144,9 +144,11 @@ def test_nb_cap_grouped_matches_full():
     np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
     # capacities differ (the capped codec sizes its buffer for capped
     # records); the wire bytes up to the blob length must be identical
+    # (streams are u32 words: compare serialized LE bytes)
     total = int(np.asarray(m0)[0])
     assert int(np.asarray(m1)[0]) == total
-    np.testing.assert_array_equal(np.asarray(s0)[:total], np.asarray(s1)[:total])
+    assert (np.asarray(s0).tobytes()[:total]
+            == np.asarray(s1).tobytes()[:total])
     np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
     img0, ok0 = full.decode_fast(h0, s0, st0)
     img1, ok1 = capped.decode_fast(h1, s1, st1)
