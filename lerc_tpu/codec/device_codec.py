@@ -344,7 +344,7 @@ def _fpl_assemble(pred, levels, histos, planes, pb_sizes, n, unit_size):
         else:
             table = huffman.write_code_table(lengths, codes, 5)
             sbytes = 4 * (-(-total_bits[b] // 32) + 1)
-            payload = b"\x00" + table + streams[b][:sbytes].tobytes()
+            payload = b"\x00" + table + streams[b].tobytes()[:sbytes]
             sidecar[b] = sbits_all[b]
         out += bytes([b, int(levels[b])])
         out += struct.pack("<I", len(payload))
@@ -530,7 +530,7 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
         syms, jnp.asarray(lens_codes), cap, pwh, live=live
     )
     assert int(tb) == total_bits
-    return mode, table + np.asarray(stream)[:stream_bytes].tobytes(), sbits
+    return mode, table + np.asarray(stream).tobytes()[:stream_bytes], sbits
 
 
 def _decode_huffman_band_device(src, pos, head, mode, sbits):

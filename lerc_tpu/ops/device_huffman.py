@@ -236,7 +236,9 @@ def encode_stream_device(sym, lens_codes, cap: int, pwh: int, live=None):
     rows_idx = (wo >> 7)[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]
     out2 = jnp.zeros((cap_w // 128, 128), jnp.uint32)
     out2 = out2.at[rows_idx].add(rec256.reshape(g, 2, 128), mode="drop")
-    stream = jax.lax.bitcast_convert_type(out2.reshape(cap_w), jnp.uint8).reshape(cap)
+    # u32 words out: consumers serialize on host (tobytes, same LE wire)
+    # or decode u32-native; the u32->u8 bitcast is a relayout (~1 ms/9MB)
+    stream = out2.reshape(cap_w)
     # sbits doubles as the decode-side acceleration sidecar (per-group bit
     # offsets; HBM metadata, wire unchanged)
     return stream, total_bits, sbits
