@@ -181,6 +181,58 @@ class MosaicEncoder:
 
     def encode(self, data: np.ndarray, mask: np.ndarray | None, max_z_error: float) -> bytes:
         h, w, d = data.shape
+        mze = self._adjust_mze(max_z_error)
+        blobs, stream_offs, starts_rows, gmn, gmx, (ty, tx) = (
+            self._encode_band_blobs(data, mask, mze)
+        )
+        return self._assemble_container(
+            blobs, stream_offs, starts_rows, gmn, gmx, ty, tx, h, w
+        )
+
+    def encode_streamed(self, row_provider, h: int, w: int,
+                        max_z_error: float, mask_provider=None) -> bytes:
+        """Bounded-memory mosaic encode: the raster arrives one tile-row
+        band at a time (row_provider(i) -> [bandH, W, D] numpy; the last
+        band may be shorter), each band shards and encodes over the mesh,
+        and per-tile blobs accumulate progressively -- peak host memory is
+        one band plus the (compressed) blobs, so rasters larger than host
+        or HBM memory stream through."""
+        ty = -(-h // self.tile_h)
+        mze = self._adjust_mze(max_z_error)
+        blobs, stream_offs, starts_rows = [], [], []
+        gmn = gmx = None
+        tx = None
+        for i in range(ty):
+            hs = min(self.tile_h, h - i * self.tile_h)
+            band = np.ascontiguousarray(row_provider(i))
+            if band.shape[0] != hs or band.shape[1] != w:
+                raise ValueError(f"band {i}: expected [{hs}, {w}, D]")
+            bmask = mask_provider(i) if mask_provider is not None else None
+            b_blobs, b_offs, b_starts, b_mn, b_mx, (bty, btx) = (
+                self._encode_band_blobs(band, bmask, mze)
+            )
+            assert bty == 1
+            tx = btx
+            blobs += b_blobs
+            stream_offs += b_offs
+            starts_rows += b_starts
+            gmn = b_mn if gmn is None else np.minimum(gmn, b_mn)
+            gmx = b_mx if gmx is None else np.maximum(gmx, b_mx)
+        return self._assemble_container(
+            blobs, stream_offs, starts_rows, gmn, gmx, ty, tx, h, w
+        )
+
+    def _adjust_mze(self, max_z_error: float) -> float:
+        mze = max_z_error
+        if self.dt < DataType.FLOAT:
+            mze = max(0.5, np.floor(mze))
+        return mze
+
+    def _encode_band_blobs(self, data: np.ndarray, mask: np.ndarray | None,
+                           mze: float):
+        """Shard + encode one raster (or band) -> per-tile wrapped blobs.
+        Returns (blobs, stream_offs, starts_rows, gmin, gmax, (ty, tx))."""
+        h, w, d = data.shape
         tiles, masks, (ty, tx) = split_into_tiles(data, mask, self.tile_h, self.tile_w)
         n_dev = self.mesh.devices.size
         t_total = tiles.shape[0]
@@ -193,10 +245,6 @@ class MosaicEncoder:
         dev_dtype = jnp.int32 if self.dt < DataType.FLOAT else jnp.float32
         tiles_d = jax.device_put(jnp.asarray(tiles, dtype=dev_dtype), sharding)
         masks_d = jax.device_put(jnp.asarray(masks), sharding)
-
-        mze = max_z_error
-        if self.dt < DataType.FLOAT:
-            mze = max(0.5, np.floor(mze))
 
         (streams, totals, mbs, zmins, zmaxs, gmin, gmax,
          all_sizes, all_mbs, all_zmins, all_zmaxs, starts) = (
@@ -230,9 +278,7 @@ class MosaicEncoder:
             stream_parts = dict(enumerate(g_streams))
             starts_parts = dict(enumerate(g_starts))
 
-        # host assembly: per-tile Lerc2 blobs (header + mask + ranges + payload)
-        blobs = []
-        stream_offs = []
+        blobs, stream_offs, starts_rows = [], [], []
         for t in range(t_total):
             blob, soff = self._wrap_tile(
                 stream_parts[t], int(sizes_np[t]), zmins_np[t], zmaxs_np[t],
@@ -241,6 +287,14 @@ class MosaicEncoder:
             blobs.append(blob)
             # 16x16 tiles have no usable 8x8 record index: host decode
             stream_offs.append(soff if int(mbs_np[t]) == 8 else -1)
+            starts_rows.append(np.asarray(starts_parts[t], np.int32))
+        return (blobs, stream_offs, starts_rows,
+                np.asarray(gmin, np.float64), np.asarray(gmax, np.float64),
+                (ty, tx))
+
+    def _assemble_container(self, blobs, stream_offs, starts_rows,
+                            gmin, gmax, ty, tx, h, w) -> bytes:
+        t_total = ty * tx
         index = struct.pack("<14s4i", MOSAIC_MAGIC2, ty, tx, h, w)
         index += struct.pack("<2i", self.tile_h, self.tile_w)
         index += struct.pack(f"<{t_total}q", *np.cumsum([0] + [len(b) for b in blobs[:-1]]).tolist())
@@ -248,12 +302,10 @@ class MosaicEncoder:
         # record-offset acceleration index (decode-side scan skip): per tile
         # the byte offset of the tile stream within its blob (-1: no stream,
         # const/empty or 16x16 tile) and the record start offsets
-        n_rec = starts.shape[1] if starts.ndim == 2 else 0
+        n_rec = starts_rows[0].shape[0] if starts_rows else 0
         index += struct.pack("<2i", n_rec, 0)
         index += np.asarray(stream_offs, np.int32).tobytes()
-        index += np.stack(
-            [starts_parts[t] for t in range(t_total)]
-        ).astype(np.int32).tobytes()
+        index += np.stack(starts_rows).astype(np.int32).tobytes()
         return index + b"".join(blobs)
 
     def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze,
@@ -420,7 +472,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
         sp[: s.size] = s
         msk = tile_mask(t)
         img, idx_ok, _fits = device_decode.decode_tiles_fast(
-            jnp.asarray(sp), jnp.asarray(starts_all[t]),
+            jnp.asarray(sp.view(np.uint32)), jnp.asarray(starts_all[t]),
             jnp.float32(hd.max_z_error), zmax_arg,
             tile_h, tile_w, d, hd.dt, hd.version,
             mask=None if msk is None else jnp.asarray(msk),
@@ -446,6 +498,44 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
         out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
             res.data[0, :hs, :ws]
         )
+    return out
+
+
+def decode_mosaic_region(buf: bytes, row0: int, row1: int, col0: int, col1: int
+                         ) -> np.ndarray:
+    """Random access: decode ONLY the tiles intersecting the half-open
+    pixel window [row0:row1, col0:col1] and return that region.
+
+    The reference frames LERC as a tile compression format precisely so
+    consumers can fetch sub-regions without decoding the world
+    (Lerc_c_api.h:73-76); the mosaic container's per-tile offsets make
+    the blob seekable, so cost scales with the window, not the raster."""
+    from ..codec.orchestrator import decode_blob
+
+    info, views = read_mosaic(buf)
+    ty, tx = info["grid"]
+    h, w = info["shape"]
+    tile_h, tile_w = info["tile"]
+    row0c, row1c = max(0, row0), min(h, row1)
+    col0c, col1c = max(0, col0), min(w, col1)
+    if row0c >= row1c or col0c >= col1c:
+        raise ValueError("empty region")
+    t_i0, t_i1 = row0c // tile_h, (row1c - 1) // tile_h
+    t_j0, t_j1 = col0c // tile_w, (col1c - 1) // tile_w
+    out = None
+    for ti in range(t_i0, t_i1 + 1):
+        for tj in range(t_j0, t_j1 + 1):
+            res = decode_blob(views[ti * tx + tj])
+            if out is None:
+                out = np.zeros((row1c - row0c, col1c - col0c, res.data.shape[3]),
+                               dtype=res.data.dtype)
+            # tile-local <-> region coordinates
+            ys, xs = ti * tile_h, tj * tile_w
+            ry0, ry1 = max(row0c, ys), min(row1c, ys + tile_h)
+            rx0, rx1 = max(col0c, xs), min(col1c, xs + tile_w)
+            out[ry0 - row0c : ry1 - row0c, rx0 - col0c : rx1 - col0c] = (
+                res.data[0, ry0 - ys : ry1 - ys, rx0 - xs : rx1 - xs]
+            )
     return out
 
 

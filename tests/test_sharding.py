@@ -154,3 +154,43 @@ def test_mosaic_16x16_tiles_host_decode():
             np.testing.assert_allclose(
                 ref, out[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32, 0], atol=1e-4)
     assert any16 or True  # data-dependent; correctness asserted above
+
+
+def test_mosaic_region_decode():
+    """Random access: decode only the tiles covering a pixel window."""
+    mesh = make_mesh(4)
+    h, w = 96, 96
+    data = _raster(h, w, seed=9)
+    enc = MosaicEncoder(mesh, 32, 32, np.float32, n_depth=1)
+    blob = enc.encode(data, None, 0.01)
+    from lerc_tpu.parallel.sharding import decode_mosaic_region
+
+    region = decode_mosaic_region(blob, 10, 70, 40, 90)
+    assert region.shape == (60, 50, 1)
+    err = np.abs(region[:, :, 0].astype(np.float64)
+                 - data[10:70, 40:90, 0]).max()
+    assert err <= 0.0101
+
+
+def test_mosaic_streamed_encode_matches():
+    """Bounded-memory band-streamed encode produces the same container
+    as the whole-raster encode."""
+    mesh = make_mesh(4)
+    h, w = 80, 96  # ragged last band (80 = 2*32 + 16)
+    data = _raster(h, w, seed=10)
+    mask = np.ones((h, w), bool)
+    mask[5:20, 40:70] = False
+    enc = MosaicEncoder(mesh, 32, 32, np.float32, n_depth=1)
+    whole = enc.encode(data, mask, 0.01)
+
+    def rows(i):
+        return data[i * 32 : min((i + 1) * 32, h)]
+
+    def mrows(i):
+        return mask[i * 32 : min((i + 1) * 32, h)]
+
+    streamed = enc.encode_streamed(rows, h, w, 0.01, mask_provider=mrows)
+    assert streamed == whole
+    out = decode_mosaic_device(streamed)
+    err = np.abs(out[:, :, 0].astype(np.float64) - data[:, :, 0])[mask].max()
+    assert err <= 0.0101
