@@ -2,10 +2,16 @@
 native scanner for the serial record chain, host assembly for the tiny
 header/mask/ranges sections.
 
-Encode coverage: tiling with LUT blocks, the 16x16 micro-block retrial,
-8-bit whole-image Huffman (all-valid and masked) and float32 lossless fpl
-all run on device; the maxZError analyses (auto-raise, bit-plane cut) run
-host-side in exact f64. float64 routes to the exact host encoder.
+Encode coverage: every dtype and encode family runs on device -- tiling
+with LUT blocks and the 16x16 micro-block retrial, 8-bit whole-image
+Huffman (all-valid and masked), float32 AND float64 lossless fpl (u32
+limb pairs), float64 lossy tiling (double-single); the maxZError
+analyses (auto-raise, bit-plane cut) run host-side in exact f64.
+
+Decode coverage: the scan-free tiling fast path (all-valid and masked)
+plus sidecar-accelerated whole-image Huffman and fpl (f32 and f64)
+decodes; foreign blobs and the remaining corners (masked Huffman, f64
+tiling, 16x16, LUT) take the host/native paths.
 """
 from __future__ import annotations
 
@@ -413,12 +419,16 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
     planes = [None] * unit_size
     levels = [0] * unit_size
     for _ in range(unit_size):
+        if head.blob_size - pos < 6:
+            raise ValueError("truncated fpl plane header")
         byte_index = src[pos]
         best_level = src[pos + 1]
         if byte_index >= unit_size or best_level > 5:
             raise ValueError("corrupt fpl plane header")
         (csize,) = struct.unpack_from("<I", src, pos + 2)
         pos += 6
+        if csize < 1 or head.blob_size - pos < csize:
+            raise ValueError("truncated fpl plane payload")
         payload = src[pos : pos + csize]
         pos += csize
         levels[byte_index] = int(best_level)

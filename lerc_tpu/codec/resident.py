@@ -28,7 +28,7 @@ from . import header as hdr
 @dataclasses.dataclass
 class ResidentBlob:
     header: bytes          # header + mask + ranges + flag bytes (host)
-    stream: jax.Array      # [cap] uint8 payload in HBM (zero past total)
+    stream: jax.Array      # [cap/4] u32 payload words in HBM (zero past total)
     total: int
     checksum: int
     hd: hdr.HeaderInfo

@@ -153,7 +153,8 @@ def test_mosaic_16x16_tiles_host_decode():
             i, j = divmod(t, info["grid"][1])
             np.testing.assert_allclose(
                 ref, out[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32, 0], atol=1e-4)
-    assert any16 or True  # data-dependent; correctness asserted above
+    if not any16:
+        pytest.skip("no tile picked 16x16 on this data (gates are data-dependent)")
 
 
 def test_mosaic_region_decode():
