@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .constants import DT_TO_NUMPY, ErrCode, NUMPY_TO_DT
+from .constants import ErrCode, NUMPY_TO_DT
 from .codec import header as hdr
 from .codec.encode_orchestrator import LercEncodeError, encode_blob
 from .codec.orchestrator import decode_blob, get_lerc_info

@@ -240,7 +240,7 @@ def get_info(src: memoryview):
 
 
 def decode_blob(src: memoryview):
-    from .orchestrator import DecodeResult, get_lerc_info
+    from .orchestrator import DecodeResult
 
     bands, height, width, _ = decode_all_bands(src)
     info = get_info(src)

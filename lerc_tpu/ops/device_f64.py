@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import DataType
 from .device_encode import _bit_len, _blockize, _pack_words, _shift_words_1b
 
 MB = 8
