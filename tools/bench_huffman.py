@@ -60,7 +60,7 @@ def main():
     max_len = int(lengths.max())
     n = N * N
 
-    stream_d = jnp.asarray(sp)
+    stream_d = jnp.asarray(sp.view(np.uint32))
     sbits_d = jnp.asarray(index["huffman_sbits"])
     consts_d = jnp.asarray(consts)
     lanes_d = jnp.asarray(lanes)
