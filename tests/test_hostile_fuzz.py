@@ -126,3 +126,17 @@ def test_header_field_fuzz():
         struct.pack_into("<I", buf, off, int(rng.integers(0, 1 << 32)))
         if _refix_checksum(buf):
             _must_not_crash(bytes(buf))
+
+
+def test_lerc1_legacy_fuzz():
+    """Lerc1 blobs have NO checksum: mutations reach the legacy parser
+    directly. Must reject or decode, never crash."""
+    blob = open("/root/reference/testData/world.lerc1", "rb").read()
+    rng = np.random.default_rng(1)
+    for _ in range(120):
+        buf = bytearray(blob)
+        for _ in range(int(rng.integers(1, 5))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        _must_not_crash(bytes(buf))
+    for cut in range(0, len(blob), 4993):
+        _must_not_crash(blob[:cut])
