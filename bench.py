@@ -65,28 +65,42 @@ def bench_ours(rounds=4):
     tiles = make_tiles()
     fetch(tiles[0, 0, 0, 0])
 
-    # Tiles run as SEQUENTIAL per-tile fused calls, not one vmapped batch:
-    # under vmap the row scatter/gather kernels lose their sorted-indices
-    # fast path and the whole pipeline measures ~1.5-1.8x slower per tile
-    # (measured on v5e, tools/profile_vmap.py). The device executes queued
-    # programs in order, so one dependent fetch of the LAST tile's meta
-    # fences the whole chained sequence.
+    # All tiles inline into ONE jitted program per phase -- NOT a vmapped
+    # batch (under vmap the row scatter/gather kernels lose their
+    # sorted-indices fast path, ~1.5-1.8x slower per tile) but four
+    # independent per-tile subgraphs in one dispatch, which also removes
+    # the ~0.5-1 ms tunnel dispatch per call (measured ~20% per tile).
     # nb_cap=16 selects the static-per-nb pack/extract chains sized for
     # narrow packed values; blocks needing wider values flip the fits flag
     # and we fall back to the uncapped variant.
-    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR, nb_cap=16)
+    def build(nb_cap):
+        codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                                   nb_cap=nb_cap)
+
+        @jax.jit
+        def enc_all(tiles):
+            return [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+
+        @jax.jit
+        def dec_all(outs):
+            return [codec._decode_fused_fast(h, s, st)
+                    for (h, s, _m, st) in outs]
+
+        return codec, enc_all, dec_all
+
+    codec, enc_all, dec_all = build(16)
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    outs = [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+    outs = enc_all(tiles)
     metas_h = np.stack([np.asarray(o[2]) for o in outs])
     if not metas_h[:, 2].all():
         print("nb_cap=16 insufficient; using full kernels", file=sys.stderr, flush=True)
-        codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR, nb_cap=0)
-        outs = [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+        codec, enc_all, dec_all = build(0)
+        outs = enc_all(tiles)
         metas_h = np.stack([np.asarray(o[2]) for o in outs])
     print(f"encode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    decs = [codec._decode_fused_fast(h, s, st) for (h, s, _m, st) in outs]
+    decs = dec_all(outs)
     oks_h = np.stack([np.asarray(d[1]) for d in decs])
     print(f"decode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
 
@@ -98,11 +112,11 @@ def bench_ours(rounds=4):
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(CHAIN):
-            outs = [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+            outs = enc_all(tiles)
         np.asarray(outs[-1][2])  # one dependent fetch fences the in-order queue
         t1 = time.perf_counter()
         for _ in range(CHAIN):
-            decs = [codec._decode_fused_fast(h, s, st) for (h, s, _m, st) in outs]
+            decs = dec_all(outs)
         np.asarray(decs[-1][1])
         t2 = time.perf_counter()
         best_enc = min(best_enc, (t1 - t0) / CHAIN)
