@@ -158,19 +158,23 @@ def encode_band_device(
             struct.pack_into("<I", blob, skip - 4, checksum)
         return bytes(blob)
 
+    def done(blob: bytes):
+        # trivial blobs (empty / constant) carry no acceleration index
+        return (blob, None) if return_index else blob
+
     if num_valid == 0:
-        return assemble(b"", b"")
+        return done(assemble(b"", b""))
 
     head.z_min = float(zmin_vec.min())
     head.z_max = float(zmax_vec.max())
     if head.z_min == head.z_max:
-        return assemble(b"", b"")
+        return done(assemble(b"", b""))
 
     ranges = b""
     if version >= 4:
         ranges = zmin_vec.astype(np_dt).tobytes() + zmax_vec.astype(np_dt).tobytes()
         if np.array_equal(zmin_vec, zmax_vec):
-            return assemble(ranges, b"")
+            return done(assemble(ranges, b""))
 
     if f64_lossless:
         payload, f64_fpl_sidecar = _encode_fpl_device_f64(
@@ -411,6 +415,11 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
 
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     n = h * w * d
+    if n > (1 << 25):
+        # the device restore cumsums split into 6-bit limbs that stay
+        # exact only up to 2^25 elements per axis; larger rasters take
+        # the host path instead of tripping the assert mid-decode
+        return None
     unit_size = 8 if head.dt == DataType.DOUBLE else 4
     pred = src[pos]
     if pred > 2:
@@ -434,6 +443,8 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
         levels[byte_index] = int(best_level)
         method = payload[0]
         if method == 1:  # RLE-const
+            if csize < 6:  # mirror fpl_impl.extract_plane's length check
+                raise ValueError("truncated RLE-const plane")
             if struct.unpack_from("<I", payload, 2)[0] != n:
                 raise ValueError("RLE-const size mismatch")
             planes[byte_index] = jnp.full(n, payload[1], jnp.uint8)
@@ -449,7 +460,8 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
                 return None  # foreign blob: host path
             lengths, codes, used = huffman.read_code_table(payload[1:], 5)
             max_len = int(lengths.max(initial=0))
-            if (max_len == 0
+            # max_len > 30 overflows the int32 canonical consts: host path
+            if (max_len == 0 or max_len > 30
                     or np.asarray(sb).shape[0] != -(-n // device_huffman.GROUP)):
                 return None
             consts, sorted_syms = device_huffman.canonical_decode_consts(
@@ -557,7 +569,8 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits):
     n = h * w * d
     max_len = int(lengths.max(initial=0))
     sbits = np.asarray(sbits, dtype=np.int32)
-    if max_len == 0 or sbits.shape[0] != -(-n // device_huffman.GROUP):
+    # max_len > 30 overflows the int32 canonical consts: host path
+    if max_len == 0 or max_len > 30 or sbits.shape[0] != -(-n // device_huffman.GROUP):
         return None
     consts, sorted_syms = device_huffman.canonical_decode_consts(lengths, codes)
     stream_np = np.frombuffer(src[pos : head.blob_size], dtype=np.uint8)

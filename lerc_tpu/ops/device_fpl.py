@@ -22,7 +22,9 @@ Only the per-plane 256-symbol tree builds run on host (one ~4 KB fetch of
 histograms + choices per image). Any method/predictor/level choice is
 wire-valid -- decoders dispatch on the stored codes.
 
-float64 stays on the host path (the split-field arithmetic needs u64).
+float64 runs on device too (encode + restore): the u64 split-field
+arithmetic is carried as u32 limb pairs / 26-bit-limb modular cumsums
+(see fpl_split_f64_device / fpl_restore_device_f64 below).
 """
 from __future__ import annotations
 

@@ -253,6 +253,10 @@ def canonical_decode_consts(lengths: np.ndarray, codes: np.ndarray):
     into the (length, code)-sorted symbol array (Huffman.cpp:541-572
     canonical property).
     """
+    # int32 rows require max code length <= 30: a length-31/32 code's
+    # first+count reaches 2^31/2^32 (callers route such tables to the
+    # host decoder instead)
+    assert int(lengths.max(initial=0)) <= 30
     consts = np.zeros((33, 3), np.int32)
     sorted_syms = np.zeros(256, np.uint8)
     base = 0
@@ -366,7 +370,8 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     # group's start offset delta (the sidecar is untrusted HBM metadata)
     deltas = jnp.concatenate([sbits[1:], sbits[:1]]) - sbits
     is_last = jnp.arange(g, dtype=jnp.int32) == g - 1
-    ok_index = jnp.all((deltas == used) | is_last) & ~jnp.any(bad)
+    ok_index = (jnp.all((deltas == used) | is_last) & ~jnp.any(bad)
+                & (sbits[0] == 0))  # reject a uniformly shifted sidecar
     return syms[:n], used, ok_index
 
 
