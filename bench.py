@@ -2,13 +2,26 @@
 """Benchmark: encode+decode MB/s per chip, float32 maxZError=0.001.
 
 Encodes+decodes a synthetic 4096x4096 float32 DEM (the BASELINE.json
-headline config) as four 2048^2 tiles through the device-resident codec,
-batched into ONE jitted call per phase (vmap over tiles): the raster is
+headline config) as four 2048^2 tiles through the device-resident codec.
+Each phase is ONE compiled executable called once per tile (the 4-tiles-
+inlined-in-one-jit variant bought ~9% but quadrupled XLA compile time and
+timed out the round-2 driver run; see VERDICT.md r2 item 1). The raster is
 generated in HBM, the blob payload stays in HBM, headers and Fletcher32
 checksums are built on device, and decode is scan-free via the encoder's
 record-offset acceleration index (wire format unchanged; decoding without
 the index is covered by tests/test_resident.py). Only a few scalar probes
 cross the host boundary per phase.
+
+Compile-time control (the round-2 failure mode was an XLA compile that
+outlived the driver's wall clock):
+  1. the JAX persistent compilation cache is enabled in .jax_cache/ so a
+     prior run of this script (or the test of it) makes later compiles
+     near-instant;
+  2. the slow-compiling nb_cap=16 static-chain variant is compiled in a
+     CHILD process under a hard timeout; if the child fails or times out
+     the bench falls back to the fast-compiling uncapped kernels and
+     still prints its JSON line. The parent only initializes the TPU
+     after the child exits (two live TPU processes hang the tunnel).
 
 Timing note: on this platform jax.block_until_ready does not actually wait
 (async tunnel), so each timed phase fetches a small dependent output to
@@ -21,14 +34,22 @@ the published ~133 MB/s figure (reference README.md:99).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp  # noqa: E402
 
 from lerc_tpu.codec.resident import FusedResidentCodec  # noqa: E402
@@ -38,6 +59,9 @@ GRID = 2  # 2x2 tiles = 4096x4096 total
 N_TILES = GRID * GRID
 MAX_Z_ERROR = 0.001
 PUBLISHED_BASELINE_MBS = 133.0
+# wall-clock budget for compiling the nb_cap=16 static-chain variant in a
+# child process; past it we fall back to the uncapped kernels (~15 s)
+WARM_BUDGET_S = int(os.environ.get("LERC_BENCH_WARM_BUDGET_S", "420"))
 
 
 @jax.jit
@@ -57,52 +81,93 @@ def make_tiles():
     return jnp.stack([one(s) for s in range(N_TILES)])
 
 
-def fetch(x):
-    return np.asarray(x)
+def masked_codec(nb_cap):
+    """The bench_masked configuration: ~8% invalid (hole + speckle)."""
+    rng = np.random.default_rng(0)
+    mask = np.ones((TILE, TILE), bool)
+    mask[300:800, 500:1500] = False
+    mask[rng.random((TILE, TILE)) > 0.98] = False
+    return FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                              nb_cap=nb_cap, mask=mask)
 
 
-def bench_ours(rounds=4):
+def warm_child(nb_cap):
+    """Child-process entry: compile + run every executable the parent will
+    time, populating the persistent compilation cache, then exit."""
     tiles = make_tiles()
-    fetch(tiles[0, 0, 0, 0])
+    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                               nb_cap=nb_cap)
+    out = codec._encode_fused(tiles[0])
+    fits = bool(np.asarray(out[2])[2])
+    dec = codec._decode_fused_fast(out[0], out[1], out[3])
+    np.asarray(dec[1])
+    mc = masked_codec(nb_cap)
+    mout = mc._encode_fused(tiles[0])
+    mfits = bool(np.asarray(mout[2])[2])
+    mdec = mc._decode_fused_fast(mout[0], mout[1], mout[3])
+    np.asarray(mdec[1])
+    print(f"WARMED fits={int(fits)} mfits={int(mfits)}", flush=True)
 
-    # All tiles inline into ONE jitted program per phase -- NOT a vmapped
-    # batch (under vmap the row scatter/gather kernels lose their
-    # sorted-indices fast path, ~1.5-1.8x slower per tile) but four
-    # independent per-tile subgraphs in one dispatch, which also removes
-    # the ~0.5-1 ms tunnel dispatch per call (measured ~20% per tile).
-    # nb_cap=16 selects the static-per-nb pack/extract chains sized for
-    # narrow packed values; blocks needing wider values flip the fits flag
-    # and we fall back to the uncapped variant.
-    def build(nb_cap):
-        codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
-                                   nb_cap=nb_cap)
 
-        @jax.jit
-        def enc_all(tiles):
-            return [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+def run_warm(nb_cap, budget_s):
+    """Compile the nb_cap variant in a child under a hard timeout.
+    Returns (ok, fits, masked_fits); the persistent cache keeps whatever
+    the child managed to compile either way."""
+    env = dict(os.environ, LERC_BENCH_WARM=str(nb_cap))
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=budget_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"warm(nb_cap={nb_cap}) timed out after {budget_s}s",
+              file=sys.stderr, flush=True)
+        return False, False, False
+    dt = time.perf_counter() - t0
+    tail = (proc.stdout or "").strip().splitlines()
+    mark = next((ln for ln in tail if ln.startswith("WARMED")), None)
+    if proc.returncode != 0 or mark is None:
+        print(f"warm(nb_cap={nb_cap}) failed rc={proc.returncode}: "
+              f"{(proc.stderr or '')[-400:]}", file=sys.stderr, flush=True)
+        return False, False, False
+    kv = dict(p.split("=") for p in mark.split()[1:])
+    print(f"warm(nb_cap={nb_cap}) ok in {dt:.0f}s ({mark})",
+          file=sys.stderr, flush=True)
+    return True, kv.get("fits") == "1", kv.get("mfits") == "1"
 
-        @jax.jit
-        def dec_all(outs):
-            return [codec._decode_fused_fast(h, s, st)
-                    for (h, s, _m, st) in outs]
 
-        return codec, enc_all, dec_all
+def bench_ours(nb_cap, rounds=4):
+    tiles = make_tiles()
+    np.asarray(tiles[0, 0, 0, 0])
 
-    codec, enc_all, dec_all = build(16)
-    print("compiling...", file=sys.stderr, flush=True)
+    # ONE compiled executable per phase, called once per tile. nb_cap=16
+    # selects the static-per-nb pack/extract chains sized for narrow
+    # packed values (slow compile, fast run; the child warmed the cache).
+    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
+                               nb_cap=nb_cap)
+
+    def enc_all(tiles):
+        return [codec._encode_fused(tiles[i]) for i in range(N_TILES)]
+
+    def dec_all(outs):
+        return [codec._decode_fused_fast(h, s, st)
+                for (h, s, _m, st) in outs]
+
     t0 = time.perf_counter()
     outs = enc_all(tiles)
     metas_h = np.stack([np.asarray(o[2]) for o in outs])
-    if not metas_h[:, 2].all():
-        print("nb_cap=16 insufficient; using full kernels", file=sys.stderr, flush=True)
-        codec, enc_all, dec_all = build(0)
-        outs = enc_all(tiles)
-        metas_h = np.stack([np.asarray(o[2]) for o in outs])
-    print(f"encode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    if nb_cap and not metas_h[:, 2].all():
+        print("nb_cap insufficient at runtime; using full kernels",
+              file=sys.stderr, flush=True)
+        return bench_ours(0, rounds)
+    print(f"encode ready in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     decs = dec_all(outs)
-    oks_h = np.stack([np.asarray(d[1]) for d in decs])
-    print(f"decode compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    np.asarray(decs[-1][1])
+    print(f"decode ready in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
 
     # Chain CHAIN passes over all tiles per timed fetch: the device
     # pipeline runs back to back (as in production) and the ~25 ms tunnel
@@ -132,19 +197,16 @@ def bench_ours(rounds=4):
     return best_enc, best_dec, blob_bytes
 
 
-def bench_masked(rounds=3):
+def bench_masked(nb_cap, rounds=3):
     """Masked variant (VERDICT r1 item 4): ~8% invalid pixels (hole +
     speckle) through the masked fast path, one tile, chained."""
     tile = make_tiles()[0]
-    rng = np.random.default_rng(0)
-    mask = np.ones((TILE, TILE), bool)
-    mask[300:800, 500:1500] = False
-    mask[rng.random((TILE, TILE)) > 0.98] = False
-    codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
-                               nb_cap=16, mask=mask)
+    codec = masked_codec(nb_cap)
     out = codec._encode_fused(tile)
-    if not int(np.asarray(out[2])[2]):
-        return None
+    if nb_cap and not int(np.asarray(out[2])[2]):
+        print("masked: nb_cap insufficient at runtime; using full kernels",
+              file=sys.stderr, flush=True)
+        return bench_masked(0, rounds)
     dec = codec._decode_fused_fast(out[0], out[1], out[3])
     np.asarray(dec[1])
     CHAIN = 8
@@ -168,7 +230,7 @@ def bench_masked(rounds=3):
 
 def bench_reference(rounds=4):
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        sys.path.insert(0, os.path.join(REPO, "tests"))
         import oracle
 
         if not oracle.available():
@@ -190,9 +252,22 @@ def bench_reference(rounds=4):
 
 
 def main():
+    warm = os.environ.get("LERC_BENCH_WARM")
+    if warm is not None:
+        warm_child(int(warm))
+        return
+
+    # Compile the slow nb_cap=16 variant in a child under a hard budget
+    # BEFORE this process touches the TPU. Cache-warm runs take seconds.
+    ok16, fits16, mfits16 = run_warm(16, WARM_BUDGET_S)
+    nb_cap = 16 if (ok16 and fits16) else 0
+    masked_cap = 16 if (ok16 and mfits16) else 0
+    if nb_cap == 0 or masked_cap == 0:
+        run_warm(0, WARM_BUDGET_S)
+
     total_mb = TILE * TILE * N_TILES * 4 / 1e6
 
-    enc, dec, blob_bytes = bench_ours()
+    enc, dec, blob_bytes = bench_ours(nb_cap)
     ours_mbs = total_mb / (enc + dec)
 
     ref = bench_reference()
@@ -208,9 +283,8 @@ def main():
         baseline = PUBLISHED_BASELINE_MBS
         extra = {}
 
-    masked = bench_masked()
-    if masked is not None:
-        extra["masked_encode_MBps"], extra["masked_decode_MBps"] = masked
+    masked = bench_masked(masked_cap)
+    extra["masked_encode_MBps"], extra["masked_decode_MBps"] = masked
 
     result = {
         "metric": "encode+decode MB/s/chip (float32 4096x4096 DEM as 2048^2 tiles, maxZError=0.001)",

@@ -555,12 +555,19 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
     return mode, table + np.asarray(stream).tobytes()[:stream_bytes], sbits
 
 
-def _decode_huffman_band_device(src, pos, head, mode, sbits):
-    """Device-parallel whole-image Huffman decode (8-bit, all-valid) via
-    the encoder's per-group bit-offset sidecar. The code table is parsed
+def _decode_huffman_band_device(src, pos, head, mode, sbits, mask=None):
+    """Device-parallel whole-image Huffman decode (8-bit) via the
+    encoder's per-group bit-offset sidecar. The code table is parsed
     from the WIRE (never trusted from the sidecar); the sidecar offsets
     are cross-checked on device against the decoded code lengths.
-    Returns [H, W, D] or None when the table is unusable."""
+    Returns [H, W, D] or None when the table is unusable.
+
+    With `mask` (numpy bool [H, W], from the wire mask section), symbols
+    are rank-compacted (direct: one run; delta: per depth plane), so the
+    live prefix decodes with a truncated sidecar (gap groups carry zero
+    bits), un-delta runs in rank space (segment pointer doubling over the
+    use_above links, Lerc2.cpp:2472-2606), and a stride-window expansion
+    scatters ranks back to pixels."""
     from . import huffman as huff
 
     lengths, codes, used = huff.read_code_table(src[pos:], head.version)
@@ -579,15 +586,113 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits):
     sp[: stream_np.size] = stream_np
     lanes = np.zeros((16, 16, 1), np.float32)
     lanes[:, :, 0] = sorted_syms.reshape(16, 16)
+    stream_dev = jnp.asarray(sp.view(np.uint32))
+    delta = mode == ImageEncodeMode.DELTA_HUFFMAN
+
+    if mask is None:
+        syms, _used_bits, ok = device_huffman.decode_stream_device(
+            stream_dev, jnp.asarray(sbits),
+            jnp.asarray(consts), jnp.asarray(lanes), n, max_len,
+        )
+        if not bool(ok):
+            raise ValueError("Huffman sidecar inconsistent with stream")
+        return device_huffman.symbols_to_image(syms, h, w, d, head.dt, delta=delta)
+
+    # ---- masked route
+    npx = h * w
+    mflat = mask.reshape(npx)
+    nv = head.num_valid_pixel
+    G = device_huffman.GROUP
+    if delta:
+        # delta symbols are depth-major, nv live + (npx - nv) gaps per plane
+        if d == 1:
+            n_eff = nv
+            g_eff = -(-n_eff // G)
+            live = None
+            sb_dec = sbits[:g_eff]
+        else:
+            n_eff = n
+            live = jnp.asarray((np.arange(d * npx) % npx) < nv)
+            sb_dec = sbits
+    else:
+        # direct symbols: one compacted run, depth inner
+        n_eff = nv * d
+        g_eff = -(-n_eff // G)
+        live = None
+        sb_dec = sbits[:g_eff]
     syms, _used_bits, ok = device_huffman.decode_stream_device(
-        jnp.asarray(sp.view(np.uint32)), jnp.asarray(sbits),
-        jnp.asarray(consts), jnp.asarray(lanes), n, max_len,
+        stream_dev, jnp.asarray(sb_dec),
+        jnp.asarray(consts), jnp.asarray(lanes), n_eff, max_len, live=live,
     )
     if not bool(ok):
         raise ValueError("Huffman sidecar inconsistent with stream")
-    return device_huffman.symbols_to_image(
-        syms, h, w, d, head.dt, delta=(mode == ImageEncodeMode.DELTA_HUFFMAN)
-    )
+
+    offset = 128 if head.dt == DataType.CHAR else 0
+    cap_r = -(-max(nv, 1) // device_huffman.GROUP) * device_huffman.GROUP
+    mask_dev = jnp.asarray(mflat)
+    if delta:
+        # [d, nv] per-plane deltas (gap tails dropped by the static slice)
+        if d == 1:
+            deltas = (syms[:nv].astype(jnp.int32) - offset)[None, :]
+        else:
+            deltas = syms.reshape(d, npx)[:, :nv].astype(jnp.int32) - offset
+        seg_b, seg_t, seg_par = _masked_delta_segments(mask)
+        if seg_b.shape[0] > (1 << 16):
+            return None  # pathological mask (checkerboard-like): host path
+        m_cap = 1 << max(4, (seg_b.shape[0] - 1).bit_length())
+        pad = m_cap - seg_b.shape[0]
+        seg_b = np.concatenate([seg_b, np.full(pad, nv, np.int32)])
+        seg_t = np.concatenate([seg_t, np.zeros(pad, np.int32)])
+        seg_par = np.concatenate([seg_par, np.zeros(pad, np.int32)])
+        vals = device_huffman.undelta_masked_device(
+            deltas, jnp.asarray(seg_b), jnp.asarray(seg_t),
+            jnp.asarray(seg_par), nv, d, m_cap,
+        )  # [d, nv] in [0, 256)
+        planes = []
+        for k in range(d):
+            comp = jnp.zeros(cap_r, jnp.uint32).at[:nv].set(
+                vals[k].astype(jnp.uint32))
+            planes.append(device_huffman.expand_compacted_device(
+                comp, mask_dev, npx))
+        img = jnp.stack(planes, axis=1).reshape(h, w, d)
+    else:
+        vals = syms.reshape(nv, d)
+        planes = []
+        for k in range(d):
+            vk = ((vals[:, k].astype(jnp.int32) - offset) & 0xFF).astype(jnp.uint32)
+            comp = jnp.zeros(cap_r, jnp.uint32).at[:nv].set(vk)
+            planes.append(device_huffman.expand_compacted_device(
+                comp, mask_dev, npx))
+        img = jnp.stack(planes, axis=1).reshape(h, w, d)
+    if head.dt == DataType.CHAR:
+        return img.astype(jnp.uint8).astype(jnp.int8)
+    return img.astype(jnp.uint8)
+
+
+def _masked_delta_segments(mask: np.ndarray):
+    """Host-side segment structure of the masked delta tree (numpy, from
+    the wire mask): returns (seg_b, seg_t, seg_par) int32 arrays of length
+    m + 1 where entry 0 is the rank-0 root segment and entry k >= 1 is the
+    k-th use_above pixel in scan order -- seg_b its rank, seg_t the rank
+    of the pixel above it, seg_par the segment containing that target."""
+    h, w = mask.shape
+    n = h * w
+    m = mask.reshape(n)
+    rank = np.cumsum(m).astype(np.int32) - 1  # rank of each valid pixel
+    left_ok = np.zeros((h, w), bool)
+    left_ok[:, 1:] = mask[:, 1:] & mask[:, :-1]
+    above_ok = np.zeros((h, w), bool)
+    above_ok[1:, :] = mask[1:, :] & mask[:-1, :]
+    use_above = (~left_ok.reshape(n)) & above_ok.reshape(n) & m
+    idx = np.nonzero(use_above)[0]
+    seg_b = np.concatenate([[0], rank[idx]]).astype(np.int32)
+    seg_t = np.concatenate([[0], rank[idx - w]]).astype(np.int32)
+    # segment id of every rank: 0 before the first use_above pixel
+    seg_of_rank = np.zeros(max(int(m.sum()), 1), np.int32)
+    seg_of_rank[rank[idx]] = 1
+    seg_of_rank = np.cumsum(seg_of_rank).astype(np.int32)
+    seg_par = np.concatenate([[0], seg_of_rank[seg_t[1:]]]).astype(np.int32)
+    return seg_b, seg_t, seg_par
 
 
 def decode_band_device(
@@ -677,10 +782,10 @@ def decode_band_device(
         pos += 1
         if flag != 0:
             if (index is not None and index.get("huffman_sbits") is not None
-                    and head.try_huffman_int() and flag in (1, 2)
-                    and head.num_valid_pixel == h * w):
+                    and head.try_huffman_int() and flag in (1, 2)):
                 img = _decode_huffman_band_device(
-                    src, pos, head, ImageEncodeMode(flag), index["huffman_sbits"]
+                    src, pos, head, ImageEncodeMode(flag), index["huffman_sbits"],
+                    mask=None if head.num_valid_pixel == h * w else mask,
                 )
                 if img is not None:
                     out.data = np.asarray(img)

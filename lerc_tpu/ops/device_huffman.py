@@ -276,7 +276,7 @@ def canonical_decode_consts(lengths: np.ndarray, codes: np.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("n", "max_len"))
 def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
-                         n: int, max_len: int):
+                         n: int, max_len: int, live=None):
     """Decode an MSB-first canonical-Huffman bitstream into [n] uint8
     symbols using the encoder's per-group bit-offset sidecar.
 
@@ -285,7 +285,11 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     (first, first+count, base) per code length; sorted_syms_lanes:
     [16, 16, 1] f32 canonical-order symbol table for the exact
     nibble-factored lookup. max_len: max code length (static; bounds the
-    compare chain and the window size).
+    compare chain and the window size). live (optional [g * GROUP] bool):
+    positions marked False consumed ZERO bits at encode time (masked
+    images compact symbols per depth plane, leaving gap runs at plane
+    tails, Lerc2.cpp:2472-2606) -- the step skips them without advancing
+    the bit buffer and their output symbols are unspecified.
 
     Groups decode in parallel; the GROUP symbols within each group decode
     serially against a 2-word MSB bit buffer: per-lane dynamic bit shifts
@@ -328,9 +332,15 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     lconst = jnp.stack([lv, first[1 : max_len + 1], limit[1 : max_len + 1],
                         basec[1 : max_len + 1]], axis=1)
 
-    def step_fn(carry, step):
+    if live is not None:
+        live_cols = live.reshape(g, GROUP).T  # [GROUP, g] scan xs
+    else:
+        live_cols = jnp.ones((GROUP, 1), bool)  # broadcast: all live
+
+    def step_fn(carry, xs):
+        step, live_col = xs
         win, o, used, bad = carry
-        live = gi + step < n
+        live_step = (gi + step < n) & live_col
         peek = jnp.where(
             o > 0, (win[:, 0] << o) | (win[:, 1] >> (jnp.uint32(32) - o)), win[:, 0]
         )
@@ -347,8 +357,8 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
             (jnp.zeros(g, bool), jnp.zeros(g, jnp.int32), jnp.zeros(g, jnp.int32)),
             lconst,
         )
-        bad = bad | (live & ~found)  # live prefix matching no code: corrupt
-        length = jnp.where(live, length, 0)
+        bad = bad | (live_step & ~found)  # live prefix matching no code: corrupt
+        length = jnp.where(live_step, length, 0)
         used = used + length
         o2 = o + length.astype(jnp.uint32)
         shift_word = o2 >= 32
@@ -362,7 +372,7 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     (_, _, used, bad), idx_steps = jax.lax.scan(
         step_fn,
         (win, jnp.zeros(g, jnp.uint32), jnp.zeros(g, jnp.int32), jnp.zeros(g, bool)),
-        jnp.arange(GROUP, dtype=jnp.int32),
+        (jnp.arange(GROUP, dtype=jnp.int32), live_cols),
     )
     idxs = idx_steps.T.reshape(g * GROUP)  # [GROUP, g] -> canonical indices
     syms = _map256(idxs.astype(jnp.uint8), sorted_syms_lanes)[:, 0].astype(jnp.uint8)
@@ -373,6 +383,94 @@ def decode_stream_device(stream, sbits, consts, sorted_syms_lanes,
     ok_index = (jnp.all((deltas == used) | is_last) & ~jnp.any(bad)
                 & (sbits[0] == 0))  # reject a uniformly shifted sidecar
     return syms[:n], used, ok_index
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def expand_compacted_device(compact, mask_flat, n: int):
+    """Expand rank-compacted values back to image positions: valid
+    position p (row-major) gets compact[rank[p]]; invalid positions get 0.
+
+    compact: [cap_r] u32 rank-ordered values, cap_r % 64 == 0, zero-padded
+    past the valid count. mask_flat: [n] bool row-major validity.
+    Returns [n] u32.
+
+    The values a 64-pixel group needs are a CONTIGUOUS compact window
+    [base_g, base_g + cnt_g) (ranks are a prefix sum), so the expansion is
+    the same stride-window machinery as the record decode: materialize
+    overlapping 128-lane rows of the compact array, ONE sorted row gather
+    per group, a dynamic lane roll (6 static roll+selects), then a 64-step
+    local select chain -- no element gathers (~100x faster on TPU).
+    """
+    ng = -(-n // GROUP)
+    padn = ng * GROUP - n
+    m = jnp.concatenate([mask_flat, jnp.zeros(padn, bool)]) if padn else mask_flat
+    m2 = m.reshape(ng, GROUP)
+    cnt = m2.sum(axis=1).astype(jnp.int32)
+    base = jnp.cumsum(cnt) - cnt  # exclusive: first rank of each group
+
+    nq = compact.shape[0] // GROUP
+    wq = compact.reshape(nq, GROUP)
+    wqp = jnp.concatenate([wq, jnp.zeros((1, GROUP), jnp.uint32)], axis=0)
+    v = jnp.concatenate([wqp[0:nq], wqp[1 : nq + 1]], axis=1)  # [nq, 128]
+    win = v.at[jnp.clip(base >> 6, 0, nq - 1)].get(indices_are_sorted=True)
+    lane = (base & 63)[:, None]
+    for b in range(6):  # left roll by base & 63: win[:, r] = compact[base+r]
+        win = jnp.where((lane >> b) & 1 == 1, jnp.roll(win, -(1 << b), axis=1), win)
+
+    local_rank = jnp.cumsum(m2, axis=1).astype(jnp.int32) - 1
+    local_rank = jnp.where(m2, local_rank, -1)
+    vex = jnp.zeros((ng, GROUP), jnp.uint32)
+    for s in range(GROUP):
+        vex = jnp.where(local_rank == s, win[:, s : s + 1], vex)
+    # fence: without it XLA fuses the 64-step chain into each downstream
+    # consumer and recomputes it (same pathology as decode_tiles_fast)
+    vex = jax.lax.optimization_barrier(vex)
+    return vex.reshape(ng * GROUP)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("nv", "d", "m_cap"))
+def undelta_masked_device(deltas, seg_b, seg_t, seg_par, nv: int, d: int,
+                          m_cap: int):
+    """Undo the masked delta transform in rank space (Lerc2.cpp:2472-2606).
+
+    Each valid pixel's encoded delta is vs. the PREVIOUS VALID pixel in
+    scan order -- except `use_above` pixels (left neighbor invalid, pixel
+    above valid) which delta vs. the pixel above. In rank space that is a
+    plain prefix sum broken into segments at the use_above pixels, where
+    segment k's base chains to an arbitrary EARLIER rank t_k. The segment
+    graph is a forest over m << nv nodes, solved with pointer doubling;
+    everything else is cumsums + one sorted scatter.
+
+    deltas: [d, nv] i32 (symbol - offset; same tree for every depth
+    plane). seg_b: [m_cap] i32 start rank of segment k (seg 0 is the rank-0
+    root segment with b=0; pads hold nv). seg_t: [m_cap] i32 rank of the
+    above-pixel target (pads 0). seg_par: [m_cap] i32 segment index of
+    t_k (pads 0; host-computed from the wire mask). Returns [d, nv] i32
+    values in [0, 256).
+
+    int32 cumsum overflow is harmless: 256 | 2^32, so wraparound preserves
+    values mod 256.
+    """
+    s = jnp.cumsum(deltas, axis=1)  # [d, nv] inclusive prefix sums
+    real = jnp.arange(m_cap, dtype=jnp.int32) >= 1
+    real = real & (seg_b < nv)
+    # c_k = s[t_k] - s[b_k - 1]  (B_k = B_par(k) + c_k; B_0 = 0)
+    sb = jnp.take(s, jnp.clip(seg_b - 1, 0, nv - 1), axis=1)  # [d, m_cap]
+    st = jnp.take(s, jnp.clip(seg_t, 0, nv - 1), axis=1)
+    c = jnp.where(real[None, :], st - sb, 0)
+    par = jnp.where(real, seg_par, 0)
+    steps = max(1, (m_cap - 1).bit_length())
+    for _ in range(steps):  # pointer doubling: c becomes B (root-path sum)
+        c = c + jnp.take(c, par, axis=1)
+        par = par[par]
+    # per-rank segment base via sorted scatter of successive B diffs
+    prev_c = jnp.concatenate([jnp.zeros((d, 1), jnp.int32), c[:, :-1]], axis=1)
+    diffs = jnp.where(real[None, :], c - prev_c, 0)
+    tgt = jnp.where(real, seg_b, nv)
+    b_rank = jnp.zeros((d, nv), jnp.int32).at[:, tgt].add(
+        diffs, mode="drop", indices_are_sorted=True)
+    b_rank = jnp.cumsum(b_rank, axis=1)
+    return (b_rank + s) & 0xFF
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "d", "dt", "delta"))
