@@ -24,23 +24,28 @@ BS = MB * MB
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "d", "dt", "version", "nb_cap")
+    jax.jit,
+    static_argnames=("h", "w", "d", "dt", "version", "nb_cap", "mb",
+                     "n_tiles", "enable_lut"),
 )
 def decode_tiles_fast(
     stream,       # [S] uint8 tile-stream bytes, S % 512 == 0
-    starts,       # [nRec] i32 record-offset index
+    starts,       # [nTiles * nRec] i32 record-offset index (absolute bytes)
     max_z_error,  # f32 scalar
-    z_max_vec,    # [D] clamp values (f32 or i32 per dtype)
+    z_max_vec,    # [D] (or [nTiles, D]) clamp values (f32 or i32 per dtype)
     h: int, w: int, d: int, dt: DataType, version: int, nb_cap: int = 0,
-    mask=None,    # optional [H, W] bool validity mask (device array)
+    mask=None,    # optional [H, W] (or [nTiles, H, W]) bool validity mask
+    mb: int = 8,       # micro-block size of the records (8 or 16)
+    n_tiles: int = 1,  # tiles batched into one record axis (one dispatch)
+    enable_lut: bool = False,  # build the LUT-record decode graph
 ):
     """Aligned fast decode. One sorted row gather per record (over
     overlapping stride-S window rows) brings each record's bytes into a
     dense window; header parse, payload alignment and value extraction
     are then elementwise (dynamic lane roll composed from static rolls,
     static-per-nb extraction chain). Returns (img [H, W, D] native
-    dtype, index_ok, fits). Requires H, W multiples of 8 and no LUT
-    records (what our device encoder emits).
+    dtype -- [nTiles, H, W, D] when n_tiles > 1 -- index_ok, fits).
+    Requires H, W multiples of mb.
 
     With `mask`, records hold values compacted to the valid positions;
     after extraction a batched one-hot expand routes value rank[p] back
@@ -49,12 +54,24 @@ def decode_tiles_fast(
     the per-record count used by the index consistency check, so a mask
     that disagrees with the stream fails loudly.
 
+    With n_tiles > 1 the per-tile streams are concatenated in `stream`
+    and `starts` holds absolute offsets (caller adds each tile's base);
+    all tiles share (h, w, d, dt, mze) and the per-TILE last record is
+    exempt from the index delta check (streams are padded between tiles).
+
+    With enable_lut (BitStuffer2.cpp:79-153 wire), LUT records resolve in
+    two chained one-hot extractions over the same window: pass 1 pulls
+    each position's LUT index (nbits(nLut) each, at lutBytes*8 + i*nbl),
+    pass 2 re-extracts at the DATA-DEPENDENT bit offset idx*nb inside the
+    LUT table. Oversized LUT tables (window overflow) flip `fits`.
+
     nb_cap > 0 statically caps the bit width the kernel is sized for.
-    Records wider than the cap (or 4-byte raw records under a <32 cap)
-    make `fits` False -- the image is then invalid and callers fall back
-    to the uncapped variant. fits is always True when the cap covers the
-    dtype."""
-    assert h % MB == 0 and w % MB == 0
+    Records wider than the cap (or 4-byte raw records under a <32 cap, or
+    LUT records under the static-chain path, or 16x16 records wider than
+    the 128-lane window allows) make `fits` False -- the image is then
+    invalid and callers fall back (uncapped variant / host path)."""
+    bs = mb * mb
+    assert h % mb == 0 and w % mb == 0
     is_int = dt < DataType.FLOAT
     np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
               DataType.SHORT: jnp.int16, DataType.USHORT: jnp.uint16,
@@ -63,17 +80,26 @@ def decode_tiles_fast(
     size_t = np.dtype(np_out).itemsize
     max_nb = {1: 8, 2: 16, 4: 32}[size_t]
     eff_cap = max_nb if nb_cap <= 0 else min(nb_cap, max_nb)
+    if mb == 16:
+        # a 16x16 record must still fit the 128-lane window rows:
+        # pw + 4 + 31 <= 128 (sw=32) caps the packed width at 11 bits;
+        # wider records flip `fits` (host fallback). 16x16 is only chosen
+        # at low bitrates (Lerc2.cpp:333-357) so this is the common case.
+        eff_cap = min(eff_cap, 11)
     always_fits = eff_cap >= max_nb
-    pw = (BS * eff_cap + 31) // 32 + 1
+    pw = (bs * eff_cap + 31) // 32 + 1
 
-    nbv, nbh = h // MB, w // MB
+    nbv, nbh = h // mb, w // mb
     n_blocks = nbv * nbh
-    n_rec = n_blocks * d
+    rec_per_tile = n_blocks * d
+    n_rec = n_tiles * rec_per_tile
     inv_scale = (2.0 * max_z_error).astype(jnp.float32)
 
     if mask is not None:
-        vb = (mask.reshape(nbv, MB, nbh, MB).transpose(0, 2, 1, 3)
-              .reshape(n_blocks, BS))
+        mask3 = mask.reshape(n_tiles, h, w)
+        vb = (mask3.reshape(n_tiles, nbv, mb, nbh, mb)
+              .transpose(0, 1, 3, 2, 4)
+              .reshape(n_tiles * n_blocks, bs))
         vb_r = jnp.repeat(vb, d, axis=0) if d > 1 else vb
         cnt_r = vb_r.sum(axis=1).astype(jnp.int32)
 
@@ -105,9 +131,11 @@ def decode_tiles_fast(
     # winr[:, j] = stream word at word offset (starts >> 2) + j
     sb = (starts & 3).astype(jnp.int32)  # byte offset of the record in word 0
 
-    def rd_u8(byte_off):  # record byte at dynamic small offset (elementwise)
+    def rd_u8(byte_off):  # record byte at dynamic offset <= 15 (elementwise)
         wsel = jnp.where((byte_off >> 2) == 0, winr[:, 0],
-                         jnp.where((byte_off >> 2) == 1, winr[:, 1], winr[:, 2]))
+                         jnp.where((byte_off >> 2) == 1, winr[:, 1],
+                                   jnp.where((byte_off >> 2) == 2, winr[:, 2],
+                                             winr[:, 3])))
         return (wsel >> ((byte_off & 3).astype(jnp.uint32) * 8)) & 0xFF
 
     def rd_u32(byte_off):  # unaligned LE u32 at dynamic small offset
@@ -166,8 +194,22 @@ def decode_tiles_fast(
     cw_code = (nbb >> 6).astype(jnp.int32)
     cw = jnp.where(cw_code == 0, 4, 3 - cw_code)
     nb = (nbb & 31).astype(jnp.int32)
-    # payload byte offset within the window
+    is_lut = ((nbb & 32) > 0) & (mode == 1)
+    if enable_lut:
+        # LUT record layout (BitStuffer2.cpp:79-153): header, count,
+        # (nLut + 1) byte, packed LUT values (nLut * nb bits, byte-
+        # aligned as a unit), packed indices (nbits(nLut) bits each).
+        n_lut = (rd_u8(sb + 1 + off_w + 1 + cw) - 1).astype(jnp.int32)
+        n_lut = jnp.where(is_lut, n_lut, 0)
+        nbits_lut = jnp.zeros_like(n_lut)
+        for k in range(8):  # bit_length(n_lut), n_lut <= 254
+            nbits_lut = nbits_lut + (n_lut >= (1 << k)).astype(jnp.int32)
+        lut_bytes = (n_lut * nb + 7) >> 3
+    # payload byte offset within the window: raw -> data, stuff ->
+    # packed values, LUT -> the LUT table (indices follow it)
     pb = jnp.where(mode == 0, sb + 1, sb + 1 + off_w + 1 + cw)
+    if enable_lut:
+        pb = pb + jnp.where(is_lut, 1, 0)  # skip the (nLut + 1) byte
 
     # ---- payload window words: word-align (pb>>2 in {0..2}) + byte funnel
     pwoff = pb >> 2  # <= 3 (sb<=3, off_w<=4, cw<=4)
@@ -189,15 +231,19 @@ def decode_tiles_fast(
     # (measured 2.3x faster than the one-hot MXU dot on v5e, with no bf16
     # conversion traffic).
     eff_nb = jnp.where(mode == 0, 8 * size_t, nb)
+    lut_unfit = jnp.bool_(False)
     if 0 < nb_cap <= 16:
         # explicit narrow cap (production hot path): static chain; see the
-        # encode-side note on the compile-time tradeoff
+        # encode-side note on the compile-time tradeoff. LUT records need
+        # dynamic (lut_bytes * 8)-bit base offsets the static chain cannot
+        # express: flag them unfit (callers rerun on the uncapped variant).
+        lut_unfit = is_lut.any()
         winx = jnp.concatenate([win, jnp.zeros((n_rec, 1), jnp.uint32)], axis=1)
-        val = jnp.zeros((n_rec, BS), jnp.uint32)
+        val = jnp.zeros((n_rec, bs), jnp.uint32)
         for nbx in range(1, eff_cap + 1):
             maskv = jnp.uint32((1 << nbx) - 1)
             vals = []
-            for j in range(BS):
+            for j in range(bs):
                 c = (j * nbx) >> 5
                 s_ = (j * nbx) & 31
                 t = winx[:, c] >> jnp.uint32(s_)
@@ -209,15 +255,6 @@ def decode_tiles_fast(
     else:
         # wide fallback (nb up to 31 + 4-byte raw): one-hot MXU routing --
         # a 31-variant static chain blows up compile time
-        nb_u = eff_nb[:, None].astype(jnp.uint32)
-        mask_bits = jnp.where(
-            nb_u >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << nb_u) - jnp.uint32(1)
-        )
-        bitpos = jnp.arange(BS, dtype=jnp.int32)[None, :] * eff_nb[:, None]
-        m_idx = bitpos >> 5
-        sh = (bitpos & 31).astype(jnp.uint32)
-        wr = jnp.arange(pw, dtype=jnp.int32)
-        oh = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
         win_n = jnp.concatenate(  # win shifted one word (the m_idx+1 selection)
             [win[:, 1:], jnp.zeros((n_rec, 1), jnp.uint32)], axis=1
         )
@@ -226,39 +263,77 @@ def decode_tiles_fast(
             + [((win_n >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
             axis=2,
         )  # [nRec, pw, 8]
-        s = jax.lax.dot_general(
-            oh, wl, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.uint32)  # [nRec, BS, 8]
-        lo = jnp.zeros((n_rec, BS), jnp.uint32)
-        hi = jnp.zeros((n_rec, BS), jnp.uint32)
-        for b in range(4):
-            lo = lo | (s[:, :, b] << (8 * b))
-            hi = hi | (s[:, :, 4 + b] << (8 * b))
-        val = ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
+        wr = jnp.arange(pw, dtype=jnp.int32)
+
+        def extract(bitpos, width):
+            """Per-position values at arbitrary per-record bit offsets:
+            one-hot word routing over the window + dual-word funnel."""
+            w_u = width[:, None].astype(jnp.uint32)
+            mask_bits = jnp.where(
+                w_u >= 32, jnp.uint32(0xFFFFFFFF),
+                (jnp.uint32(1) << w_u) - jnp.uint32(1),
+            )
+            m_idx = bitpos >> 5
+            sh = (bitpos & 31).astype(jnp.uint32)
+            oh = (m_idx[:, :, None] == wr[None, None, :]).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                oh, wl, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.uint32)  # [nRec, bs, 8]
+            lo = jnp.zeros((n_rec, bs), jnp.uint32)
+            hi = jnp.zeros((n_rec, bs), jnp.uint32)
+            for b in range(4):
+                lo = lo | (s[:, :, b] << (8 * b))
+                hi = hi | (s[:, :, 4 + b] << (8 * b))
+            return ((lo >> sh) | jnp.where(sh > 0, hi << (jnp.uint32(32) - sh), 0)) & mask_bits
+
+        if enable_lut:
+            # pass 1: values (simple/raw) or LUT indices (LUT records)
+            nb1 = jnp.where(is_lut, nbits_lut, eff_nb)
+            base_bits = jnp.where(is_lut, lut_bytes * 8, 0)
+            bitpos = base_bits[:, None] + jnp.arange(bs, dtype=jnp.int32)[None, :] * nb1[:, None]
+            val = extract(bitpos, nb1)
+            # pass 2: LUT table lookup AS a second extraction at the
+            # data-dependent offset (idx - 1) * nb; idx 0 means value 0
+            # (the implicit block-min entry, BitStuffer2.cpp:134)
+            idx = val.astype(jnp.int32)
+            bitpos2 = jnp.clip(idx - 1, 0, None) * nb[:, None]
+            val2 = extract(bitpos2, nb)
+            val2 = jnp.where(idx == 0, 0, val2)
+            val = jnp.where(is_lut[:, None], val2, val)
+            # a LUT area + indices overflowing the window means wrong bits
+            need_w = (lut_bytes * 8 + bs * nbits_lut + 31) >> 5
+            lut_unfit = jnp.any(is_lut & (need_w > pw - 1))
+        else:
+            bitpos = jnp.arange(bs, dtype=jnp.int32)[None, :] * eff_nb[:, None]
+            val = extract(bitpos, eff_nb)
 
     if mask is not None:
         # expand compacted values back to block positions: position p gets
-        # value slot rank[p]. A 64-step select chain (compare rank against
+        # value slot rank[p]. A bs-step select chain (compare rank against
         # each slot, broadcast that slot's column) runs ~7x faster than the
         # batched one-hot matmul on v5e (tiny [64,64]x[64,4] batched dots
         # tile poorly) and ~80x faster than take_along_axis.
         rank = jnp.cumsum(vb_r, axis=1).astype(jnp.int32) - 1
         rank = jnp.where(vb_r, rank, -1)
-        vex = jnp.zeros((n_rec, BS), jnp.uint32)
-        for s_ in range(BS):
+        vex = jnp.zeros((n_rec, bs), jnp.uint32)
+        for s_ in range(bs):
             vex = jnp.where(rank == s_, val[:, s_ : s_ + 1], vex)
-        # barrier: without it XLA fuses this 64-step chain into each of the
+        # barrier: without it XLA fuses this select chain into each of the
         # downstream dequant consumers, recomputing it several times
         # (measured 36-55 ms for the whole kernel vs ~13 ms with the
         # barrier)
         val = jax.lax.optimization_barrier(vex)
 
+    # per-record clamp vector: tile t's [D] ranges repeat over its blocks
+    zmax_t = z_max_vec.reshape(n_tiles, 1, d) if n_tiles > 1 else z_max_vec.reshape(1, 1, d)
     m2 = mode[:, None]
     if not is_int:
         raw_f = jax.lax.bitcast_convert_type(val, jnp.float32)
         off2 = offset[:, None]
-        zmax_r = jnp.tile(z_max_vec.astype(jnp.float32), n_blocks)[:, None]
+        zmax_r = jnp.broadcast_to(
+            zmax_t.astype(jnp.float32), (n_tiles, n_blocks, d)
+        ).reshape(n_rec)[:, None]
         z_stuff = jnp.minimum(off2 + val.astype(jnp.float32) * inv_scale, zmax_r)
         z = jnp.where(
             m2 == 0, raw_f,
@@ -275,7 +350,9 @@ def decode_tiles_fast(
             raw_i = val.astype(jnp.int32)
         off_i = offset.astype(jnp.int32)[:, None]
         inv_i = jnp.round(inv_scale).astype(jnp.int32)
-        zmax_i = jnp.tile(z_max_vec.astype(jnp.int32), n_blocks)[:, None]
+        zmax_i = jnp.broadcast_to(
+            zmax_t.astype(jnp.int32), (n_tiles, n_blocks, d)
+        ).reshape(n_rec)[:, None]
         z_stuff = jnp.minimum(off_i + val.astype(jnp.int32) * inv_i, zmax_i)
         z = jnp.where(
             m2 == 0, raw_i,
@@ -285,12 +362,14 @@ def decode_tiles_fast(
             z = jnp.where(vb_r, z, 0)
         z = z.astype(np_out)
 
-    blocks = z.reshape(n_blocks, d, BS).transpose(0, 2, 1)  # [nB, 64, D]
+    blocks = z.reshape(n_tiles * n_blocks, d, bs).transpose(0, 2, 1)  # [T*nB, bs, D]
     img = (
-        blocks.reshape(nbv, nbh, MB, MB, d)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(nbv * MB, nbh * MB, d)
+        blocks.reshape(n_tiles, nbv, nbh, mb, mb, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n_tiles, nbv * mb, nbh * mb, d)
     )
+    if n_tiles == 1:
+        img = img[0]
 
     # acceleration-index consistency: the index is untrusted HBM-side
     # metadata (the Fletcher32 covers only wire bytes), so recompute each
@@ -301,32 +380,39 @@ def decode_tiles_fast(
     cnt_b1 = rd_u8(sb + 3 + off_w)
     ne_i = (cnt_b0 | jnp.where(cw == 2, cnt_b1 << 8, 0)).astype(jnp.int32)
     stuff_bytes = (ne_i * nb + 7) >> 3
-    exp_cnt = cnt_r if mask is not None else BS
+    exp_cnt = cnt_r if mask is not None else bs
     length = jnp.where(
         mode == 2, 1,
         jnp.where(mode == 3, 1 + off_w,
                   jnp.where(mode == 0, 1 + exp_cnt * size_t,
                             1 + off_w + 1 + cw + stuff_bytes)),
     )
+    if enable_lut:
+        lut_len = (1 + off_w + 1 + cw + 1 + lut_bytes
+                   + ((ne_i * nbits_lut + 7) >> 3))
+        length = jnp.where(is_lut, lut_len, length)
     # a stuffed count disagreeing with the (mask-derived) valid count
     # means the mask and stream are inconsistent
     cnt_ok = jnp.all((mode != 1) | (ne_i == exp_cnt))
-    # A record with the LUT bit set is a hard failure here: this fast path
-    # has no LUT decode and the feeding encoders never emit LUT records, so
-    # a parsed LUT bit means the index points at bytes that are not the
-    # records it claims (or the stream was tampered with).
-    is_lut_rec = ((nbb & 32) > 0) & (mode == 1)
     nxt = jnp.concatenate([starts[1:], starts[:1]])
     deltas = nxt - starts
-    # only the final record is exempt from the delta check (it has no
-    # successor); every other mismatch -- including backward jumps -- fails
-    is_last = jnp.arange(n_rec, dtype=jnp.int32) == n_rec - 1
+    # each tile's final record is exempt from the delta check (no
+    # successor within its stream; batched streams are padded apart);
+    # every other mismatch -- including backward jumps -- fails
+    is_last = (jnp.arange(n_rec, dtype=jnp.int32) % rec_per_tile) == rec_per_tile - 1
     ok_rec = (deltas == length) | is_last
-    index_ok = ok_rec.all() & ~is_lut_rec.any() & cnt_ok
+    index_ok = ok_rec.all() & cnt_ok
+    if not enable_lut:
+        # Without LUT support a parsed LUT bit is a hard failure: the
+        # feeding encoders never emit LUT records, so it means the index
+        # points at bytes that are not the records it claims (or the
+        # stream was tampered with).
+        index_ok = index_ok & ~is_lut.any()
     if always_fits:
         fits = jnp.bool_(True)
     else:
         fits = ~jnp.any(((mode == 0) | (mode == 1)) & (eff_nb > eff_cap))
+    fits = fits & ~lut_unfit
     return img, index_ok, fits
 
 

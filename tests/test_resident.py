@@ -153,7 +153,10 @@ def test_nb_cap_grouped_matches_full():
     img0, ok0 = full.decode_fast(h0, s0, st0)
     img1, ok1 = capped.decode_fast(h1, s1, st1)
     assert bool(ok0) and bool(ok1)
-    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    # the two variants extract identical uint32 values but XLA may fuse
+    # the dequant multiply-add differently (FMA contraction) per graph:
+    # allow 1 ulp; the wire bytes above are compared exactly
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), rtol=2e-7)
 
 
 def test_nb_cap_unfit_flags_and_fallback():
