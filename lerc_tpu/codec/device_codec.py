@@ -695,6 +695,58 @@ def _masked_delta_segments(mask: np.ndarray):
     return seg_b, seg_t, seg_par
 
 
+_DBL_MIN = 2.2250738585072014e-308
+
+
+def _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
+                             has_lut, h, w, d):
+    """Lossy float64 tiling decode via the exact softfloat dequant
+    (device_softf64: z = zMin + q * invScale then std::min(z, zMax),
+    bit-for-bit the reference's Lerc2.h ScaleBack). Returns the [H, W, D]
+    float64 image, or None when the inputs leave the softfloat's
+    normal-range contract (subnormal/inf/nan offsets or clamps, extreme
+    invScale, or a dequantized sum that underflows) -- the caller then
+    takes the exact host path."""
+    from ..ops import device_softf64 as sf
+
+    dec = sf.decompose_scalar(2.0 * head.max_z_error)
+    if dec is None:
+        return None
+    inv_limbs, inv_bexp = dec
+    offs = recs["offset"]
+    used = np.isin(recs["mode"], (1, 3, 4))
+    offs_used = offs[used]
+    if not (np.isfinite(offs_used).all()
+            and ((offs_used == 0) | (np.abs(offs_used) >= _DBL_MIN)).all()):
+        return None
+    zmax = np.asarray(zmax_src, np.float64)
+    if not np.isfinite(zmax).all():
+        return None
+    off_bits = offs.view(np.uint64)
+    zmax_bits = zmax.view(np.uint64)
+
+    img_hi, img_lo, ok = device_decode.decode_tiles_f64(
+        jnp.asarray(stream_np),
+        jnp.asarray(recs["mode"]),
+        jnp.asarray(recs["payload_pos"].astype(np.int32)),
+        jnp.asarray((off_bits >> 32).astype(np.uint32)),
+        jnp.asarray((off_bits & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray(recs["num_bits"]),
+        jnp.asarray(recs["num_elements"]),
+        jnp.asarray(recs["lut_pos"].astype(np.int32)),
+        jnp.asarray(recs["nbits_lut"]),
+        jnp.asarray(mask),
+        jnp.asarray((zmax_bits >> 32).astype(np.uint32)),
+        jnp.asarray((zmax_bits & 0xFFFFFFFF).astype(np.uint32)),
+        inv_limbs, inv_bexp,
+        h, w, d, bool(mask.all()), has_lut,
+    )
+    if not bool(np.asarray(ok)):
+        return None
+    bits = (np.asarray(img_hi).astype(np.uint64) << 32) | np.asarray(img_lo)
+    return bits.view(np.float64)
+
+
 def decode_band_device(
     buf: bytes | memoryview,
     prev_mask: np.ndarray | None = None,
@@ -719,12 +771,13 @@ def decode_band_device(
         return None
     if head.micro_block_size != 8:
         return None
-    if head.dt == DataType.DOUBLE and not (
+    if head.dt == DataType.DOUBLE and head.max_z_error == 0 and not (
         index is not None and index.get("fpl_sbits") is not None
         and head.try_huffman_flt()
     ):
-        # f64 tiling needs exact-f64 dequantization: host path. Only the
-        # fpl sidecar route (lossless, device limb-pair restore) stays.
+        # lossless f64 without the fpl sidecar: host path (the device fpl
+        # restore needs the per-plane offsets). Lossy f64 tiling proceeds
+        # to the exact softfloat dequant route below.
         return None
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     np_dt = DT_TO_NUMPY[head.dt]
@@ -798,8 +851,6 @@ def decode_band_device(
                     out.data = np.asarray(img)
                     return out
             return None  # huffman / fpl / masked-huffman -> host path
-    if head.dt == DataType.DOUBLE:
-        return None  # f64 tiling: exact-f64 dequantization on host
 
     # native record scan over the tile stream
     nbv, nbh = -(-h // 8), -(-w // 8)
@@ -816,6 +867,13 @@ def decode_band_device(
     has_lut = bool((recs["mode"] == 4).any())
 
     zmax_src = out.z_max_vec if out.z_max_vec is not None else np.full(d, head.z_max)
+    if head.dt == DataType.DOUBLE:
+        img = _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
+                                       has_lut, h, w, d)
+        if img is None:
+            return None  # outside the softfloat's normal-range contract
+        out.data = img
+        return out
     if dt_is_int(head.dt):
         z_max_vec = np.round(zmax_src).astype(np.int32)
         offsets = recs["offset"].astype(np.int32)  # exact: int offsets fit f64

@@ -562,3 +562,119 @@ def decode_tiles(
         .reshape(nbv * MB, nbh * MB, d)[:h, :w, :]
     )
     return img
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inv_limbs", "inv_bexp", "h", "w", "d", "all_valid",
+                     "has_lut"),
+)
+def decode_tiles_f64(
+    stream,        # [S] uint8 tile-stream bytes (absolute offsets match scanner)
+    mode,          # [nRec] int32 (0 raw, 1 stuff, 2 const0, 3 const-offset, 4 LUT)
+    payload_pos,   # [nRec] int32 absolute byte offset
+    offset_hi,     # [nRec] uint32 block-offset f64 bit patterns (high word)
+    offset_lo,     # [nRec] uint32 (low word)
+    num_bits,      # [nRec] int32
+    num_elements,  # [nRec] int32
+    lut_pos,       # [nRec] absolute LUT byte offset (mode 4)
+    nbits_lut,     # [nRec] int32
+    mask,          # [H, W] bool
+    zmax_hi,       # [D] uint32 clamp f64 bit patterns (high word)
+    zmax_lo,       # [D] uint32 (low word)
+    inv_limbs: tuple, inv_bexp: int,  # decompose_scalar(2 * maxZError)
+    h: int, w: int, d: int, all_valid: bool, has_lut: bool,
+):
+    """Lossy float64 tiling decode, BIT-EXACT vs the reference's f64
+    arithmetic (Lerc2.h ScaleBack: z = zMin + q * invScale, separately
+    rounded mul and add, then std::min(z, zMax)) via the softfloat
+    kernels in device_softf64 -- pure u32 ops, identical on CPU and TPU.
+
+    Returns (data_hi [H, W, D] u32, data_lo, ok). ok False means some
+    dequantized sum left the normal-f64 range (host fallback); callers
+    must precheck that offsets and zmax are zero-or-normal finite and
+    that decompose_scalar accepted invScale."""
+    from . import device_softf64 as sf
+
+    nbv, nbh = -(-h // MB), -(-w // MB)
+    n_blocks = nbv * nbh
+    n_rec = n_blocks * d
+
+    stream_u32 = stream.astype(jnp.uint32)
+    payload_pos = payload_pos.astype(jnp.int32)
+
+    vmask_full = jnp.ones((h, w), bool) if all_valid else mask
+    padded = jnp.zeros((nbv * MB, nbh * MB), bool).at[:h, :w].set(vmask_full)
+    vb = padded.reshape(nbv, MB, nbh, MB).transpose(0, 2, 1, 3).reshape(n_blocks, BS)
+    in_img = (
+        jnp.zeros((nbv * MB, nbh * MB), bool).at[:h, :w].set(True)
+        .reshape(nbv, MB, nbh, MB).transpose(0, 2, 1, 3).reshape(n_blocks, BS)
+    )
+    area = in_img.sum(axis=1).astype(jnp.int32)
+    area_r = jnp.repeat(area, d)
+    fill_all = (mode == 1) | (mode == 4)
+    use_all = fill_all & (num_elements == area_r)
+
+    vb_r = jnp.repeat(vb, d, axis=0) if d > 1 else vb
+    in_img_r = jnp.repeat(in_img, d, axis=0) if d > 1 else in_img
+    eff_valid = jnp.where(use_all[:, None], in_img_r, vb_r & in_img_r)
+    rank = jnp.cumsum(eff_valid, axis=1).astype(jnp.int32) - 1
+    rank = jnp.clip(rank, 0, BS - 1)
+
+    # ---- bit-stuffed quants (u32, nb <= 32)
+    q = _unpack_records(stream_u32, payload_pos, num_bits, BS)
+    if has_lut:
+        idx = _unpack_records(stream_u32, payload_pos, nbits_lut, BS)
+        lut_vals = _unpack_records(stream_u32, lut_pos.astype(jnp.int32), num_bits, 256)
+        lut_full = jnp.concatenate(
+            [jnp.zeros((n_rec, 1), jnp.uint32), lut_vals[:, :255]], axis=1
+        )
+        q_lut = jnp.take_along_axis(lut_full, jnp.clip(idx, 0, 255).astype(jnp.int32), axis=1)
+        q = jnp.where(mode[:, None] == 4, q_lut, q)
+    qv = jnp.take_along_axis(q, rank, axis=1)
+
+    # ---- softfloat dequant: z = min(offset + qv * invScale, zmax)
+    ph, pl = sf.mul_u32_scalar(qv, inv_limbs, inv_bexp)
+    oh2 = offset_hi[:, None]
+    ol2 = offset_lo[:, None]
+    zh, zl, addok = sf.add_f64(
+        jnp.broadcast_to(oh2, ph.shape), jnp.broadcast_to(ol2, ph.shape), ph, pl
+    )
+    zmh = jnp.tile(zmax_hi, n_blocks)[:, None]
+    zml = jnp.tile(zmax_lo, n_blocks)[:, None]
+    zh, zl = sf.min_f64(zh, zl, jnp.broadcast_to(zmh, zh.shape),
+                        jnp.broadcast_to(zml, zl.shape))
+
+    # ---- raw f64 values: 8 bytes at payload_pos + rank * 8
+    b0 = payload_pos[:, None] + rank * 8
+    smax = stream.shape[0] - 1
+    raw_lo = jnp.zeros(b0.shape, jnp.uint32)
+    raw_hi = jnp.zeros(b0.shape, jnp.uint32)
+    for i in range(4):
+        raw_lo = raw_lo | stream_u32[jnp.clip(b0 + i, 0, smax)] << jnp.uint32(8 * i)
+        raw_hi = raw_hi | stream_u32[jnp.clip(b0 + 4 + i, 0, smax)] << jnp.uint32(8 * i)
+
+    m8 = mode[:, None]
+    stuffed = (m8 == 1) | (m8 == 4)
+    out_hi = jnp.where(
+        m8 == 0, raw_hi,
+        jnp.where(m8 == 2, 0, jnp.where(m8 == 3, oh2, zh)),
+    )
+    out_lo = jnp.where(
+        m8 == 0, raw_lo,
+        jnp.where(m8 == 2, 0, jnp.where(m8 == 3, ol2, zl)),
+    )
+    write = jnp.where((m8 == 3) | (m8 == 0), vb_r & in_img_r, eff_valid)
+    out_hi = jnp.where(write, out_hi, 0)
+    out_lo = jnp.where(write, out_lo, 0)
+    ok = jnp.all(addok | ~(stuffed & write))
+
+    def assemble(vals):
+        blocks = vals.reshape(n_blocks, d, BS).transpose(0, 2, 1)
+        return (
+            blocks.reshape(nbv, nbh, MB, MB, d)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nbv * MB, nbh * MB, d)[:h, :w, :]
+        )
+
+    return assemble(out_hi), assemble(out_lo), ok
