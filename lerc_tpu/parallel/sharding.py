@@ -34,6 +34,7 @@ from ..codec import fletcher32, header as hdr
 
 MOSAIC_MAGIC = b"LercTpuMosaic1"
 MOSAIC_MAGIC2 = b"LercTpuMosaic2"  # adds the record-offset index section
+MOSAIC_MAGIC3 = b"LercTpuMosaic3"  # adds multi-band tiles (nBands field)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
@@ -187,13 +188,59 @@ class MosaicEncoder:
         self.cap = 1 << (raw - 1).bit_length()
 
     def encode(self, data: np.ndarray, mask: np.ndarray | None, max_z_error: float) -> bytes:
-        h, w, d = data.shape
+        """Encode [H, W, D] (single band) or [nBands, H, W, D]. mask may be
+        None, [H, W] (shared by all bands), or [nBands, H, W] per band.
+
+        Multi-band tiles follow the reference's band-concat + mask-dedup
+        wire (Lerc.cpp:130-176,717-741): each tile's blob is the bands'
+        Lerc2 blobs back to back, and a band whose mask equals the
+        previous band's writes numBytesMask == 0 (mask-reuse flag) -- so
+        every tile blob is a standard multi-band LERC blob any reader
+        (including the reference library) decodes directly."""
+        if data.ndim == 3:
+            data = data[None]
+        n_bands, h, w, d = data.shape
+        if mask is None:
+            band_masks = [None] * n_bands
+        elif mask.ndim == 2:
+            band_masks = [mask] * n_bands
+        else:
+            band_masks = [mask[b] for b in range(n_bands)]
         mze = self._adjust_mze(max_z_error)
-        blobs, stream_offs, starts_rows, gmn, gmx, (ty, tx) = (
-            self._encode_band_blobs(data, mask, mze)
-        )
+
+        per_band = []
+        prev_tile_masks = None
+        gmn = gmx = None
+        grid = None
+        for b in range(n_bands):
+            blobs, offs, starts, b_mn, b_mx, grid, tile_masks = (
+                self._encode_band_blobs(data[b], band_masks[b], mze,
+                                        prev_tile_masks=prev_tile_masks,
+                                        n_blobs_more=n_bands - 1 - b)
+            )
+            per_band.append((blobs, offs, starts))
+            prev_tile_masks = tile_masks
+            gmn = b_mn if gmn is None else np.minimum(gmn, b_mn)
+            gmx = b_mx if gmx is None else np.maximum(gmx, b_mx)
+        ty, tx = grid
+
+        # per tile: concatenate the bands' blobs; flatten the index rows
+        # in (tile, band) order with stream offsets absolute in the tile
+        tile_blobs, stream_offs, starts_rows = [], [], []
+        for t in range(ty * tx):
+            parts, base = [], 0
+            for b in range(n_bands):
+                blobs, offs, starts = per_band[b]
+                # stream_offs are absolute within the tile blob; starts
+                # rows stay relative to the band's stream start
+                stream_offs.append(base + offs[t] if offs[t] >= 0 else -1)
+                starts_rows.append(starts[t])
+                parts.append(blobs[t])
+                base += len(blobs[t])
+            tile_blobs.append(b"".join(parts))
         return self._assemble_container(
-            blobs, stream_offs, starts_rows, gmn, gmx, ty, tx, h, w
+            tile_blobs, stream_offs, starts_rows, gmn, gmx, ty, tx, h, w,
+            n_bands=n_bands,
         )
 
     def encode_streamed(self, row_provider, h: int, w: int,
@@ -215,7 +262,7 @@ class MosaicEncoder:
             if band.shape[0] != hs or band.shape[1] != w:
                 raise ValueError(f"band {i}: expected [{hs}, {w}, D]")
             bmask = mask_provider(i) if mask_provider is not None else None
-            b_blobs, b_offs, b_starts, b_mn, b_mx, (bty, btx) = (
+            b_blobs, b_offs, b_starts, b_mn, b_mx, (bty, btx), _tm = (
                 self._encode_band_blobs(band, bmask, mze)
             )
             assert bty == 1
@@ -236,9 +283,13 @@ class MosaicEncoder:
         return mze
 
     def _encode_band_blobs(self, data: np.ndarray, mask: np.ndarray | None,
-                           mze: float):
+                           mze: float, prev_tile_masks: np.ndarray | None = None,
+                           n_blobs_more: int = 0):
         """Shard + encode one raster (or band) -> per-tile wrapped blobs.
-        Returns (blobs, stream_offs, starts_rows, gmin, gmax, (ty, tx))."""
+        prev_tile_masks ([T, th, tw] from the previous band) enables the
+        mask-reuse flag (numBytesMask == 0) on tiles whose mask is
+        unchanged. Returns (blobs, stream_offs, starts_rows, gmin, gmax,
+        (ty, tx), tile_masks)."""
         h, w, d = data.shape
         tiles, masks, (ty, tx) = split_into_tiles(data, mask, self.tile_h, self.tile_w)
         n_dev = self.mesh.devices.size
@@ -287,27 +338,34 @@ class MosaicEncoder:
 
         blobs, stream_offs, starts_rows = [], [], []
         for t in range(t_total):
+            reuse = (prev_tile_masks is not None
+                     and np.array_equal(masks[t], prev_tile_masks[t]))
             blob, soff = self._wrap_tile(
                 stream_parts[t], int(sizes_np[t]), zmins_np[t], zmaxs_np[t],
-                masks[t], mze, int(mbs_np[t]),
+                masks[t], mze, int(mbs_np[t]), reuse_mask=reuse,
+                n_blobs_more=n_blobs_more,
             )
             blobs.append(blob)
             stream_offs.append(soff)
             starts_rows.append(np.asarray(starts_parts[t], np.int32))
         return (blobs, stream_offs, starts_rows,
                 np.asarray(gmin, np.float64), np.asarray(gmax, np.float64),
-                (ty, tx))
+                (ty, tx), masks[:t_total])
 
     def _assemble_container(self, blobs, stream_offs, starts_rows,
-                            gmin, gmax, ty, tx, h, w) -> bytes:
+                            gmin, gmax, ty, tx, h, w, n_bands: int = 1) -> bytes:
         t_total = ty * tx
-        index = struct.pack("<14s4i", MOSAIC_MAGIC2, ty, tx, h, w)
+        if n_bands == 1:
+            index = struct.pack("<14s4i", MOSAIC_MAGIC2, ty, tx, h, w)
+        else:
+            index = struct.pack("<14s5i", MOSAIC_MAGIC3, ty, tx, h, w, n_bands)
         index += struct.pack("<2i", self.tile_h, self.tile_w)
         index += struct.pack(f"<{t_total}q", *np.cumsum([0] + [len(b) for b in blobs[:-1]]).tolist())
         index += struct.pack("<2d", float(np.asarray(gmin).min()), float(np.asarray(gmax).max()))
-        # record-offset acceleration index (decode-side scan skip): per tile
-        # the byte offset of the tile stream within its blob (-1: no stream,
-        # const/empty or 16x16 tile) and the record start offsets
+        # record-offset acceleration index (decode-side scan skip): per
+        # (tile, band) the byte offset of the band's tile stream within the
+        # tile blob (-1: no stream, const/empty tile) and the record start
+        # offsets relative to that stream
         n_rec = starts_rows[0].shape[0] if starts_rows else 0
         index += struct.pack("<2i", n_rec, 0)
         index += np.asarray(stream_offs, np.int32).tobytes()
@@ -315,15 +373,20 @@ class MosaicEncoder:
         return index + b"".join(blobs)
 
     def _wrap_tile(self, stream, total, zmin_vec, zmax_vec, tile_mask, mze,
-                   micro_block_size: int = 8):
-        """-> (blob bytes, stream byte offset within the blob or -1)."""
+                   micro_block_size: int = 8, reuse_mask: bool = False,
+                   n_blobs_more: int = 0):
+        """-> (blob bytes, stream byte offset within the blob or -1).
+        reuse_mask writes numBytesMask == 0 for a masked tile (wire flag:
+        same mask as the previous band); n_blobs_more is the v6 header's
+        count of band blobs that follow, which drives the reference's
+        multi-band walk (Lerc.cpp:118,136-176)."""
         num_valid = int(tile_mask.sum())
         head = hdr.HeaderInfo(
             version=self.version, n_rows=self.tile_h, n_cols=self.tile_w, n_depth=self.d,
             num_valid_pixel=num_valid, micro_block_size=micro_block_size,
-            dt=self.dt, max_z_error=mze,
+            dt=self.dt, max_z_error=mze, n_blobs_more=n_blobs_more,
         )
-        need_mask = 0 < num_valid < self.tile_h * self.tile_w
+        need_mask = 0 < num_valid < self.tile_h * self.tile_w and not reuse_mask
         if need_mask:  # masked tiles carry their mask inline (RLE'd bitmask)
             from .. import native
             from ..codec import rle
@@ -363,11 +426,16 @@ class MosaicEncoder:
 
 def read_mosaic(buf: bytes):
     """Parse a mosaic container -> (grid info, list of per-tile blob views).
-    Handles v1 (no index) and v2 (record-offset acceleration index)."""
+    Handles v1 (no index), v2 (record-offset acceleration index) and v3
+    (multi-band tiles; stream_offs/starts are in (tile, band) order)."""
     magic, ty, tx, h, w = struct.unpack_from("<14s4i", buf, 0)
-    if magic not in (MOSAIC_MAGIC, MOSAIC_MAGIC2):
+    if magic not in (MOSAIC_MAGIC, MOSAIC_MAGIC2, MOSAIC_MAGIC3):
         raise ValueError("not a lerc_tpu mosaic")
     pos = 14 + 16
+    n_bands = 1
+    if magic == MOSAIC_MAGIC3:
+        (n_bands,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
     tile_h, tile_w = struct.unpack_from("<2i", buf, pos)
     pos += 8
     t_total = ty * tx
@@ -376,16 +444,18 @@ def read_mosaic(buf: bytes):
     gmin, gmax = struct.unpack_from("<2d", buf, pos)
     pos += 16
     info = {"grid": (ty, tx), "shape": (h, w), "tile": (tile_h, tile_w),
-            "z_min": gmin, "z_max": gmax, "stream_offs": None, "starts": None}
-    if magic == MOSAIC_MAGIC2:
+            "z_min": gmin, "z_max": gmax, "n_bands": n_bands,
+            "stream_offs": None, "starts": None}
+    if magic in (MOSAIC_MAGIC2, MOSAIC_MAGIC3):
         n_rec, _rsv = struct.unpack_from("<2i", buf, pos)
         pos += 8
-        info["stream_offs"] = np.frombuffer(buf, np.int32, t_total, pos).copy()
-        pos += 4 * t_total
+        n_units = t_total * n_bands
+        info["stream_offs"] = np.frombuffer(buf, np.int32, n_units, pos).copy()
+        pos += 4 * n_units
         info["starts"] = np.frombuffer(
-            buf, np.int32, t_total * n_rec, pos
-        ).reshape(t_total, n_rec).copy()
-        pos += 4 * t_total * n_rec
+            buf, np.int32, n_units * n_rec, pos
+        ).reshape(n_units, n_rec).copy()
+        pos += 4 * n_units * n_rec
     base = pos
     views = []
     for t in range(t_total):
@@ -395,14 +465,32 @@ def read_mosaic(buf: bytes):
     return info, views
 
 
-def _decode_tiles_device_batched(info, views, heads, wanted):
-    """Decode the `wanted` mosaic tiles on device, BATCHED: tiles flatten
-    into one record axis per (micro-block, masked) group so a 256-tile
-    mosaic issues O(1) dispatches instead of a Python loop with a fetch
-    per tile (VERDICT r2 weak item 3). Tile counts pad to powers of two
-    (last tile replicated) to bound XLA recompiles across mosaics.
+def _tile_band_layouts(views, n_bands):
+    """Per tile, the [(byte offset, HeaderInfo), ...] of its band blobs
+    (multi-band tile blobs are the bands' Lerc2 blobs back to back)."""
+    from ..codec import header as hdr_mod
 
-    Returns {tile_index: np.ndarray [tileH, tileW, D]}; tiles that need
+    layouts = []
+    for view in views:
+        bands = []
+        base = 0
+        for _ in range(n_bands):
+            hd, _ = hdr_mod.read_header(view[base:])
+            bands.append((base, hd))
+            base += hd.blob_size
+        layouts.append(bands)
+    return layouts
+
+
+def _decode_tiles_device_batched(info, views, layouts, wanted):
+    """Decode the `wanted` mosaic tiles on device, BATCHED: every
+    (tile, band) unit flattens into one record axis per micro-block group
+    so a 256-tile mosaic issues O(1) dispatches instead of a Python loop
+    with a fetch per tile (VERDICT r2 weak item 3). Unit counts pad to
+    powers of two (last unit replicated) to bound XLA recompiles across
+    mosaics.
+
+    Returns {(tile, band): np.ndarray [tileH, tileW, D]}; units that need
     the host path are simply absent. Raises on checksum or index
     inconsistency (never silently wrong pixels)."""
     from ..codec import header as hdr_mod
@@ -413,86 +501,95 @@ def _decode_tiles_device_batched(info, views, heads, wanted):
     from ..codec import rle
 
     tile_h, tile_w = info["tile"]
+    n_bands = info["n_bands"]
     starts_all = info["starts"]
     stream_offs = info["stream_offs"]
-    if starts_all is None:
+    if starts_all is None or not wanted:
         return {}
-    hd0 = heads[wanted[0]] if wanted else None
-    dev_ok = [
-        t for t in wanted
-        if stream_offs[t] >= 0 and heads[t].num_valid_pixel > 0
-        and heads[t].micro_block_size in (8, 16)
-        and tile_h % heads[t].micro_block_size == 0
-        and tile_w % heads[t].micro_block_size == 0
-        # batch requires uniform codec parameters across tiles (always
-        # true for MosaicEncoder output; hand-built containers may vary)
-        and heads[t].dt == hd0.dt and heads[t].n_depth == hd0.n_depth
-        and heads[t].version == hd0.version
-        and heads[t].max_z_error == hd0.max_z_error
-    ]
-    if not dev_ok:
-        return {}
-    # the host fallback (decode_blob) verifies each blob's Fletcher32; the
-    # device fast path must too, or a payload bit flip that preserves
-    # record lengths decodes to silently wrong pixels from file input
-    for t in dev_ok:
-        hd = heads[t]
-        if hd.version >= 3:
-            skip = hdr_mod.checksum_skip(hd.version)
-            if fletcher32.fletcher32(views[t][skip : hd.blob_size]) != hd.checksum:
-                raise ValueError(f"mosaic tile {t}: Lerc2 checksum mismatch")
-    d = hd0.n_depth
 
-    def tile_mask(t):
-        """Inline RLE mask of tile t, or None when fully valid."""
-        hd = heads[t]
+    def band_mask(t, b):
+        """Resolved validity mask of unit (t, b): None = fully valid,
+        False = needs the host path (reuse chain broken)."""
+        base, hd = layouts[t][b]
         if hd.num_valid_pixel == tile_h * tile_w:
             return None
-        pos = hdr_mod.header_size(hd.version)
+        if hd.num_valid_pixel == 0:
+            return False
+        pos = base + hdr_mod.header_size(hd.version)
         num_bytes_mask = int.from_bytes(views[t][pos : pos + 4], "little", signed=True)
         pos += 4
         if num_bytes_mask <= 0:
-            return None  # mask-reuse has no inline mask; handled by caller
+            # mask-reuse flag: same mask as the previous band; an all-valid
+            # previous band contradicts 0 < nvp < total here -> host path
+            prev = band_mask(t, b - 1) if b > 0 else False
+            return False if prev is None else prev
         nb = mask_size_bytes(tile_w, tile_h)
         raw = np.frombuffer(views[t][pos : pos + num_bytes_mask], np.uint8)
         bits = (native.rle_decompress(raw, nb) if native.available()
                 else np.frombuffer(rle.decompress(raw, nb), np.uint8))
         return bits_to_bool(bits, tile_w, tile_h)
 
-    masks = {}
-    for t in dev_ok[:]:
-        hd = heads[t]
-        msk = tile_mask(t)
-        if hd.num_valid_pixel < tile_h * tile_w and msk is None:
-            dev_ok.remove(t)  # masked tile without an inline mask: host path
-        else:
-            masks[t] = msk
+    units = [(t, b) for t in wanted for b in range(n_bands)]
+    hd0 = layouts[units[0][0]][units[0][1]][1]
+    dev_ok, masks = [], {}
+    for t, b in units:
+        base, hd = layouts[t][b]
+        u = t * n_bands + b
+        if not (stream_offs[u] >= 0 and hd.num_valid_pixel > 0
+                and hd.micro_block_size in (8, 16)
+                and tile_h % hd.micro_block_size == 0
+                and tile_w % hd.micro_block_size == 0
+                # the batch requires uniform codec parameters (always true
+                # for MosaicEncoder output; hand-built containers may vary)
+                and hd.dt == hd0.dt and hd.n_depth == hd0.n_depth
+                and hd.version == hd0.version
+                and hd.max_z_error == hd0.max_z_error):
+            continue
+        msk = band_mask(t, b)
+        if msk is False:
+            continue  # unresolvable mask: host path
+        masks[(t, b)] = msk
+        dev_ok.append((t, b))
+    if not dev_ok:
+        return {}
+    # the host fallback (decode_blob) verifies each blob's Fletcher32; the
+    # device fast path must too, or a payload bit flip that preserves
+    # record lengths decodes to silently wrong pixels from file input
+    for t, b in dev_ok:
+        base, hd = layouts[t][b]
+        if hd.version >= 3:
+            skip = hdr_mod.checksum_skip(hd.version)
+            if fletcher32.fletcher32(
+                    views[t][base + skip : base + hd.blob_size]) != hd.checksum:
+                raise ValueError(f"mosaic tile {t} band {b}: Lerc2 checksum mismatch")
+    d = hd0.n_depth
 
-    out: dict[int, np.ndarray] = {}
+    out: dict[tuple, np.ndarray] = {}
     for mb in (8, 16):
-        group = [t for t in dev_ok if heads[t].micro_block_size == mb]
+        group = [u for u in dev_ok if layouts[u[0]][u[1]][1].micro_block_size == mb]
         if not group:
             continue
         n_rec = (tile_h // mb) * (tile_w // mb) * d
-        # concatenate tile streams at 512-aligned bases; absolute starts
+        # concatenate unit streams at 512-aligned bases; absolute starts
         parts, starts_abs, zmaxs, gmasks = [], [], [], []
         off = 0
-        for t in group:
-            hd = heads[t]
+        for t, b in group:
+            base, hd = layouts[t][b]
+            u = t * n_bands + b
             s = np.frombuffer(
-                views[t][int(stream_offs[t]) : hd.blob_size], np.uint8)
+                views[t][int(stream_offs[u]) : base + hd.blob_size], np.uint8)
             pad = -(-max(s.size, 1) // 512) * 512
             sp = np.zeros(pad, np.uint8)
             sp[: s.size] = s
             parts.append(sp)
-            starts_abs.append(starts_all[t][:n_rec].astype(np.int32) + off)
+            starts_abs.append(starts_all[u][:n_rec].astype(np.int32) + off)
             off += pad
-            _hd2, (_zmn, zmx) = read_band_ranges(views[t])
+            _hd2, (_zmn, zmx) = read_band_ranges(views[t][base:])
             zmaxs.append(np.asarray(zmx))
-            gmasks.append(masks[t])
-        # pad the tile count to a power of two so XLA compiles O(log T)
-        # variants across mosaics; replicated pad tiles POINT AT the last
-        # real tile's stream bytes (the index check is per tile and
+            gmasks.append(masks[(t, b)])
+        # pad the unit count to a power of two so XLA compiles O(log T)
+        # variants across mosaics; replicated pad units POINT AT the last
+        # real unit's stream bytes (the index check is per unit and
         # self-consistent) and their outputs are dropped
         n_real = len(group)
         n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
@@ -502,7 +599,7 @@ def _decode_tiles_device_batched(info, views, heads, wanted):
         big = np.concatenate(parts)
         stream_dev = jnp.asarray(big.view(np.uint32))
         sa = jnp.asarray(np.concatenate(starts_abs).astype(np.int32))
-        hd = heads[group[0]]
+        hd = layouts[group[0][0]][group[0][1]][1]
         if dt_is_int(hd.dt):
             zmax_arg = jnp.asarray(np.round(np.stack(zmaxs)).astype(np.int32))
         else:
@@ -525,9 +622,34 @@ def _decode_tiles_device_batched(info, views, heads, wanted):
                 f"(micro-block {mb} group)"
             )
         imgs_h = np.asarray(imgs)  # ONE fetch per group
-        for i, t in enumerate(group):
-            out[t] = imgs_h[i]
+        for i, u in enumerate(group):
+            out[u] = imgs_h[i]
     return out
+
+
+def _const_unit_fill(view, layout, b, tile_h, tile_w):
+    """Cheap host fill for units with no tile stream: fully-invalid bands
+    (zeros) and fully-valid const bands (z_min everywhere, the reference's
+    _fill_const semantics). Returns None when the unit needs a real
+    decode (masked const tiles included -- rare, host path)."""
+    from ..codec.lerc2_decode import read_band_ranges
+
+    base, hd = layout[b]
+    d = hd.n_depth
+    np_dt = DT_TO_NUMPY[hd.dt]
+    if hd.num_valid_pixel == 0:
+        return np.zeros((tile_h, tile_w, d), np_dt)
+    if hd.num_valid_pixel != tile_h * tile_w:
+        return None
+    if hd.z_min == hd.z_max:
+        return np.full((tile_h, tile_w, d), np_dt(hd.z_min))
+    if hd.version >= 4:
+        _hd2, (zmn, zmx) = read_band_ranges(view[base:])
+        if zmn is not None and np.array_equal(zmn, zmx):
+            vals = (np.full(d, np_dt(hd.z_min)) if d == 1
+                    else np.asarray(zmn).astype(np_dt))
+            return np.broadcast_to(vals, (tile_h, tile_w, d)).copy()
+    return None
 
 
 def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
@@ -538,32 +660,39 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
     (their RLE masks parse on host, ~bytes); 16x16 and LUT tiles decode
     on device too. Only tiles without an index entry (const/empty, or v1
     containers) fall back to the host decoder."""
-    from ..codec import header as hdr_mod
     from ..codec.orchestrator import decode_blob
 
     info, views = read_mosaic(buf)
     ty, tx = info["grid"]
     h, w = info["shape"]
     tile_h, tile_w = info["tile"]
+    n_bands = info["n_bands"]
     if info["starts"] is None:
         return decode_mosaic(buf)
-    heads = [hdr_mod.read_header(view)[0] for view in views]
-    decoded = _decode_tiles_device_batched(info, views, heads, list(range(ty * tx)))
+    layouts = _tile_band_layouts(views, n_bands)
+    decoded = _decode_tiles_device_batched(info, views, layouts,
+                                           list(range(ty * tx)))
 
-    d = heads[0].n_depth
-    np_dt = DT_TO_NUMPY[heads[0].dt]
-    out = np.zeros((h, w, d), dtype=np_dt)
+    hd0 = layouts[0][0][1]
+    d = hd0.n_depth
+    np_dt = DT_TO_NUMPY[hd0.dt]
+    out = np.zeros((n_bands, h, w, d), dtype=np_dt)
+    host_tiles: dict[int, np.ndarray] = {}
     for t in range(ty * tx):
         ti, tj = divmod(t, tx)
         hs = min(tile_h, h - ti * tile_h)
         ws = min(tile_w, w - tj * tile_w)
-        img = decoded.get(t)
-        if img is None:
-            img = decode_blob(views[t]).data[0]
-        out[ti * tile_h : ti * tile_h + hs, tj * tile_w : tj * tile_w + ws] = (
-            img[:hs, :ws]
-        )
-    return out
+        for b in range(n_bands):
+            img = decoded.get((t, b))
+            if img is None:
+                img = _const_unit_fill(views[t], layouts[t], b, tile_h, tile_w)
+            if img is None:
+                if t not in host_tiles:
+                    host_tiles[t] = decode_blob(views[t]).data
+                img = host_tiles[t][b]
+            out[b, ti * tile_h : ti * tile_h + hs,
+                tj * tile_w : tj * tile_w + ws] = img[:hs, :ws]
+    return out if n_bands > 1 else out[0]
 
 
 def decode_mosaic_region(buf: bytes, row0: int, row1: int, col0: int, col1: int,
@@ -576,14 +705,15 @@ def decode_mosaic_region(buf: bytes, row0: int, row1: int, col0: int, col1: int,
     (Lerc_c_api.h:73-76); the mosaic container's per-tile offsets make
     the blob seekable, so cost scales with the window, not the raster.
     With device=True (default) indexed tiles decode through the batched
-    device fast path; pass device=False to force the host decoder."""
-    from ..codec import header as hdr_mod
+    device fast path; pass device=False to force the host decoder.
+    Single-band mosaics return [rh, rw, D]; multi-band [nBands, rh, rw, D]."""
     from ..codec.orchestrator import decode_blob
 
     info, views = read_mosaic(buf)
     ty, tx = info["grid"]
     h, w = info["shape"]
     tile_h, tile_w = info["tile"]
+    n_bands = info["n_bands"]
     row0c, row1c = max(0, row0), min(h, row1)
     col0c, col1c = max(0, col0), min(w, col1)
     if row0c >= row1c or col0c >= col1c:
@@ -592,27 +722,33 @@ def decode_mosaic_region(buf: bytes, row0: int, row1: int, col0: int, col1: int,
     t_j0, t_j1 = col0c // tile_w, (col1c - 1) // tile_w
     wanted = [ti * tx + tj
               for ti in range(t_i0, t_i1 + 1) for tj in range(t_j0, t_j1 + 1)]
+    layouts = _tile_band_layouts(views, n_bands)
     decoded = {}
     if device and info["starts"] is not None:
-        heads = [hdr_mod.read_header(view)[0] for view in views]
-        decoded = _decode_tiles_device_batched(info, views, heads, wanted)
+        decoded = _decode_tiles_device_batched(info, views, layouts, wanted)
     out = None
+    host_tiles: dict[int, np.ndarray] = {}
     for t in wanted:
         ti, tj = divmod(t, tx)
-        img = decoded.get(t)
-        if img is None:
-            img = decode_blob(views[t]).data[0]
-        if out is None:
-            out = np.zeros((row1c - row0c, col1c - col0c, img.shape[2]),
-                           dtype=img.dtype)
-        # tile-local <-> region coordinates
-        ys, xs = ti * tile_h, tj * tile_w
-        ry0, ry1 = max(row0c, ys), min(row1c, ys + tile_h)
-        rx0, rx1 = max(col0c, xs), min(col1c, xs + tile_w)
-        out[ry0 - row0c : ry1 - row0c, rx0 - col0c : rx1 - col0c] = (
-            img[ry0 - ys : ry1 - ys, rx0 - xs : rx1 - xs]
-        )
-    return out
+        for b in range(n_bands):
+            img = decoded.get((t, b))
+            if img is None:
+                img = _const_unit_fill(views[t], layouts[t], b, tile_h, tile_w)
+            if img is None:
+                if t not in host_tiles:
+                    host_tiles[t] = decode_blob(views[t]).data
+                img = host_tiles[t][b]
+            if out is None:
+                out = np.zeros((n_bands, row1c - row0c, col1c - col0c,
+                                img.shape[2]), dtype=img.dtype)
+            # tile-local <-> region coordinates
+            ys, xs = ti * tile_h, tj * tile_w
+            ry0, ry1 = max(row0c, ys), min(row1c, ys + tile_h)
+            rx0, rx1 = max(col0c, xs), min(col1c, xs + tile_w)
+            out[b, ry0 - row0c : ry1 - row0c, rx0 - col0c : rx1 - col0c] = (
+                img[ry0 - ys : ry1 - ys, rx0 - xs : rx1 - xs]
+            )
+    return out if n_bands > 1 else out[0]
 
 
 def decode_mosaic(buf: bytes) -> np.ndarray:
@@ -623,14 +759,17 @@ def decode_mosaic(buf: bytes) -> np.ndarray:
     ty, tx = info["grid"]
     h, w = info["shape"]
     tile_h, tile_w = info["tile"]
+    n_bands = info["n_bands"]
     out = None
     for t, view in enumerate(views):
         res = decode_blob(view)
         d = res.data.shape[3]
         if out is None:
-            out = np.zeros((h, w, d), dtype=res.data.dtype)
+            out = np.zeros((n_bands, h, w, d), dtype=res.data.dtype)
         i, j = divmod(t, tx)
         hs = min(tile_h, h - i * tile_h)
         ws = min(tile_w, w - j * tile_w)
-        out[i * tile_h : i * tile_h + hs, j * tile_w : j * tile_w + ws] = res.data[0, :hs, :ws]
-    return out
+        out[:, i * tile_h : i * tile_h + hs, j * tile_w : j * tile_w + ws] = (
+            res.data[:, :hs, :ws]
+        )
+    return out if n_bands > 1 else out[0]

@@ -259,3 +259,126 @@ def test_mosaic_streamed_encode_matches():
     out = decode_mosaic_device(streamed)
     err = np.abs(out[:, :, 0].astype(np.float64) - data[:, :, 0])[mask].max()
     assert err <= 0.0101
+
+
+def test_mosaic_multiband_device_decode(monkeypatch):
+    """Multi-band mosaic (VERDICT r2 item 6): per-tile blobs are standard
+    multi-band LERC blobs (band concat + mask-reuse flag, Lerc.cpp:
+    130-176,717-741) the reference decodes with correct per-band masks;
+    the batched device path decodes every (tile, band) unit."""
+    mesh = make_mesh(4)
+    h = w = 64
+    rng = np.random.default_rng(21)
+    bands = np.stack([
+        _raster(h, w, seed=1)[:, :, 0],
+        _raster(h, w, seed=2)[:, :, 0] * 3 + 100,
+        rng.normal(0, 10, (h, w)).astype(np.float32).cumsum(axis=1),
+    ])[..., None]  # [3, H, W, 1]
+    mask = np.ones((h, w), bool)
+    mask[5:20, 30:60] = False
+    enc = MosaicEncoder(mesh, 32, 32, np.float32, n_depth=1)
+    blob = enc.encode(bands, mask, 0.01)
+
+    info, views = read_mosaic(blob)
+    assert info["n_bands"] == 3
+
+    import lerc_tpu.codec.orchestrator as orch
+
+    host_calls = []
+    real_decode_blob = orch.decode_blob
+    monkeypatch.setattr(
+        orch, "decode_blob",
+        lambda *a, **k: (host_calls.append(1), real_decode_blob(*a, **k))[1],
+    )
+    out = decode_mosaic_device(blob)
+    assert not host_calls, f"{len(host_calls)} tiles fell back to the host decoder"
+    assert out.shape == (3, h, w, 1)
+    for b in range(3):
+        err = np.abs(out[b, :, :, 0].astype(np.float64)
+                     - bands[b, :, :, 0])[mask].max()
+        assert err <= 0.01 * 1.01, (b, err)
+
+    # shared mask -> bands 1, 2 reuse band 0's mask section (dedup) and
+    # the reference library decodes each tile blob with per-band masks
+    if oracle.available():
+        for t, v in enumerate(views):
+            data_r, mask_r, *_ = oracle.decode(bytes(v))
+            assert data_r.shape[0] == 3
+            ref = np.asarray(data_r).reshape(3, 32, 32)
+            i, j = divmod(t, info["grid"][1])
+            sl = np.s_[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32]
+            tm = mask[sl]
+            for b in range(3):
+                # device f32 dequant vs the reference's f64-then-cast:
+                # a few ulp of the value magnitude
+                d = np.abs(ref[b][tm] - out[b][sl + (0,)][tm])
+                tol = 1e-4 + 1e-6 * np.abs(ref[b][tm])
+                assert (d <= tol).all()
+    # per-band Lerc2 blobs share one inline mask per tile (reuse flag)
+    from lerc_tpu.parallel.sharding import _tile_band_layouts
+    from lerc_tpu.codec import header as hdrm
+    layouts = _tile_band_layouts(views, 3)
+    masked_tiles = 0
+    for t, lay in enumerate(layouts):
+        inline = []
+        for b in range(3):
+            base, hd = lay[b]
+            pos = base + hdrm.header_size(hd.version)
+            nbm = int.from_bytes(views[t][pos:pos + 4], "little", signed=True)
+            inline.append(nbm)
+        if 0 < lay[0][1].num_valid_pixel < 32 * 32:
+            masked_tiles += 1
+            assert inline[0] > 0 and inline[1] == 0 and inline[2] == 0, inline
+    assert masked_tiles > 0
+
+
+def test_mosaic_multiband_region_and_host_agree():
+    mesh = make_mesh(4)
+    h = w = 96
+    bands = np.stack([_raster(h, w, seed=4)[:, :, 0],
+                      _raster(h, w, seed=5)[:, :, 0] * 2])[..., None]
+    enc = MosaicEncoder(mesh, 32, 32, np.float32, n_depth=1)
+    blob = enc.encode(bands, None, 0.01)
+    from lerc_tpu.parallel.sharding import decode_mosaic_region
+
+    full = decode_mosaic_device(blob)
+    host = decode_mosaic(blob)
+    assert full.shape == host.shape == (2, h, w, 1)
+    np.testing.assert_allclose(full, host, atol=1e-4)
+    reg = decode_mosaic_region(blob, 15, 80, 20, 90)
+    assert reg.shape == (2, 65, 70, 1)
+    np.testing.assert_allclose(reg, full[:, 15:80, 20:90], atol=1e-4)
+
+
+def test_mosaic_multiband_per_band_masks():
+    """Distinct per-band masks: no dedup, each band carries its own."""
+    mesh = make_mesh(4)
+    h = w = 64
+    bands = np.stack([_raster(h, w, seed=6)[:, :, 0],
+                      _raster(h, w, seed=7)[:, :, 0]])[..., None]
+    masks = np.ones((2, h, w), bool)
+    masks[0, :10, :30] = False
+    masks[1, 40:, 20:50] = False
+    enc = MosaicEncoder(mesh, 32, 32, np.float32, n_depth=1)
+    blob = enc.encode(bands, masks, 0.005)
+    out = decode_mosaic_device(blob)
+    for b in range(2):
+        err = np.abs(out[b, :, :, 0].astype(np.float64)
+                     - bands[b, :, :, 0])[masks[b]].max()
+        assert err <= 0.005 * 1.01
+    if oracle.available():
+        info, views = read_mosaic(blob)
+        saw_two = False
+        for t, v in enumerate(views):
+            data_r, mask_r, *_ = oracle.decode(bytes(v))
+            i, j = divmod(t, info["grid"][1])
+            sl = np.s_[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32]
+            if mask_r is None:  # fully-valid tile in both bands
+                assert masks[0][sl].all() and masks[1][sl].all()
+                continue
+            got_masks = np.asarray(mask_r).reshape(-1, 32, 32).astype(bool)
+            assert got_masks.shape[0] == 2  # distinct masks: no dedup
+            saw_two = True
+            for b in range(2):
+                np.testing.assert_array_equal(got_masks[b], masks[b][sl])
+        assert saw_two
