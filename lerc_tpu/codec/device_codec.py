@@ -555,12 +555,51 @@ def _encode_huffman_device(data_dev, h, w, d, dt, version, mask_dev=None,
     return mode, table + np.asarray(stream).tobytes()[:stream_bytes], sbits
 
 
+def _scan_huffman_offsets(sp, lengths, codes, head, mode, mask, n, n_groups):
+    """Per-group bit offsets of a FOREIGN Huffman stream via the native
+    lengths-only scan. Returns an encoder-sidecar-shaped int32 array
+    (n_groups entries; for masked layouts the groups past the live prefix
+    keep the final offset) or None when the scan is unavailable/fails."""
+    if not native.available():
+        return None
+    G = device_huffman.GROUP
+    if mask is None:
+        counts = np.full(n_groups, G, np.int32)
+        counts[-1] = n - (n_groups - 1) * G
+    else:
+        h, w, d = head.n_rows, head.n_cols, head.n_depth
+        npx = h * w
+        nv = head.num_valid_pixel
+        if mode == ImageEncodeMode.DELTA_HUFFMAN and d > 1:
+            # depth-major planes of npx rank slots, the first nv live
+            p = np.arange(n_groups * G)
+            live = ((p % npx) < nv) & (p < n)
+            counts = live.reshape(n_groups, G).sum(axis=1).astype(np.int32)
+        else:
+            # one compacted run: nv*d (direct) or nv (delta, d == 1)
+            n_eff = nv * d if mode != ImageEncodeMode.DELTA_HUFFMAN else nv
+            g_eff = -(-n_eff // G)
+            counts = np.zeros(n_groups, np.int32)
+            counts[:g_eff] = G
+            counts[g_eff - 1] = n_eff - (g_eff - 1) * G
+    try:
+        return native.huffman_group_offsets(sp, lengths, codes, counts)
+    except ValueError:
+        return None  # corrupt stream: the host path raises its own error
+
+
 def _decode_huffman_band_device(src, pos, head, mode, sbits, mask=None):
-    """Device-parallel whole-image Huffman decode (8-bit) via the
-    encoder's per-group bit-offset sidecar. The code table is parsed
-    from the WIRE (never trusted from the sidecar); the sidecar offsets
-    are cross-checked on device against the decoded code lengths.
-    Returns [H, W, D] or None when the table is unusable.
+    """Device-parallel whole-image Huffman decode (8-bit) via a per-group
+    bit-offset sidecar. The code table is parsed from the WIRE (never
+    trusted from the sidecar); the sidecar offsets are cross-checked on
+    device against the decoded code lengths. Returns [H, W, D] or None
+    when the table is unusable.
+
+    sbits=None (FOREIGN blob, no encoder sidecar): the offsets are built
+    by the native lengths-only scan (lerc_huffman_group_offsets, a
+    multi-symbol-LUT pointer chase several times faster than full host
+    decode) and the heavy symbol/un-delta work still runs device-parallel
+    -- so plain decode() of a foreign 8-bit blob uses the TPU.
 
     With `mask` (numpy bool [H, W], from the wire mask section), symbols
     are rank-compacted (direct: one run; delta: per depth plane), so the
@@ -575,15 +614,24 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits, mask=None):
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     n = h * w * d
     max_len = int(lengths.max(initial=0))
-    sbits = np.asarray(sbits, dtype=np.int32)
+    G = device_huffman.GROUP
+    n_groups = -(-n // G)
     # max_len > 30 overflows the int32 canonical consts: host path
-    if max_len == 0 or max_len > 30 or sbits.shape[0] != -(-n // device_huffman.GROUP):
+    if max_len == 0 or max_len > 30:
         return None
-    consts, sorted_syms = device_huffman.canonical_decode_consts(lengths, codes)
     stream_np = np.frombuffer(src[pos : head.blob_size], dtype=np.uint8)
     cap = -(-max(stream_np.size, 512) // 512) * 512
     sp = np.zeros(cap, np.uint8)
     sp[: stream_np.size] = stream_np
+    if sbits is None:
+        sbits = _scan_huffman_offsets(sp, lengths, codes, head, mode, mask,
+                                      n, n_groups)
+        if sbits is None:
+            return None
+    sbits = np.asarray(sbits, dtype=np.int32)
+    if sbits.shape[0] != n_groups:
+        return None
+    consts, sorted_syms = device_huffman.canonical_decode_consts(lengths, codes)
     lanes = np.zeros((16, 16, 1), np.float32)
     lanes[:, :, 0] = sorted_syms.reshape(16, 16)
     stream_dev = jnp.asarray(sp.view(np.uint32))
@@ -834,10 +882,12 @@ def decode_band_device(
         flag = src[pos]
         pos += 1
         if flag != 0:
-            if (index is not None and index.get("huffman_sbits") is not None
-                    and head.try_huffman_int() and flag in (1, 2)):
+            if head.try_huffman_int() and flag in (1, 2):
+                # encoder sidecar when present; foreign blobs get their
+                # offsets from the native lengths-only scan (sbits=None)
+                sbits = index.get("huffman_sbits") if index is not None else None
                 img = _decode_huffman_band_device(
-                    src, pos, head, ImageEncodeMode(flag), index["huffman_sbits"],
+                    src, pos, head, ImageEncodeMode(flag), sbits,
                     mask=None if head.num_valid_pixel == h * w else mask,
                 )
                 if img is not None:

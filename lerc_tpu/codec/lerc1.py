@@ -188,7 +188,17 @@ def _read_z_tile(src, pos, i0, i1, j0, j1, max_z_error, max_z_img, cnt, z, ignor
 
 
 def decode_all_bands(src: memoryview):
-    """Returns (list of (cnt, z) float32 arrays, height, width, maxZError)."""
+    """Returns (list of (cnt, z) float32 arrays, height, width, maxZError).
+    Truncated wires surface as ValueError, never struct.error/IndexError
+    (graceful-rejection contract, as the reference bails with false from
+    CntZImage::read on short buffers)."""
+    try:
+        return _decode_all_bands(src)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated Lerc1 blob: {e}") from e
+
+
+def _decode_all_bands(src: memoryview):
     height, width, max_z_error = read_header(src)
     pos = 10 + 4 * 4 + 8
     bands = []

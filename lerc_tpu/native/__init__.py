@@ -82,6 +82,11 @@ def lib():
         ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_void_p,
         ct.c_int32, ct.c_int32, ct.c_void_p,
     ]
+    h.lerc_huffman_group_offsets.restype = ct.c_int64
+    h.lerc_huffman_group_offsets.argtypes = [
+        ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_void_p,
+        ct.c_int32, ct.c_int32, ct.c_void_p, ct.c_void_p,
+    ]
     h.lerc_rle_compress.restype = ct.c_int64
     h.lerc_rle_compress.argtypes = [ct.c_void_p, ct.c_int64, ct.c_void_p]
     h.lerc_rle_decompress.restype = ct.c_int64
@@ -126,6 +131,28 @@ def huffman_decode(buf: np.ndarray, lengths: np.ndarray, codes: np.ndarray, n_sy
     if used < 0:
         raise ValueError("corrupt huffman stream")
     return out, int(used)
+
+
+def huffman_group_offsets(buf: np.ndarray, lengths: np.ndarray,
+                          codes: np.ndarray, group_counts: np.ndarray):
+    """Lengths-only scan of a canonical Huffman stream: the bit offset of
+    each group's first code (the acceleration sidecar for foreign blobs).
+    group_counts[g] = wire symbols in group g. Raises on a corrupt
+    stream."""
+    h = lib()
+    buf = np.ascontiguousarray(buf)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    group_counts = np.ascontiguousarray(group_counts, dtype=np.int32)
+    out = np.zeros(group_counts.size, dtype=np.int32)
+    used = h.lerc_huffman_group_offsets(
+        buf.ctypes.data, buf.size, lengths.ctypes.data, codes.ctypes.data,
+        lengths.size, group_counts.size, group_counts.ctypes.data,
+        out.ctypes.data,
+    )
+    if used < 0:
+        raise ValueError("corrupt huffman stream")
+    return out
 
 
 def rle_compress(src: np.ndarray) -> bytes:

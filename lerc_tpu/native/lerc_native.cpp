@@ -12,8 +12,10 @@
 // Wire-format constants follow /root/reference/src/LercLib (BitStuffer2,
 // Lerc2 ReadTile); implementation is original.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -235,6 +237,389 @@ int64_t lerc_huffman_decode(
   if (!ok) return -1;
   const int64_t words = (bitpos + 31) / 32;
   return words * 4 + 4;  // + read-ahead pad word
+}
+
+// ---------------------------------------------------------------------------
+// Speculative self-sync Huffman offsets scan (the "gap array" technique,
+// single-core ILP edition). The stream splits into fixed bit chunks; a
+// REFERENCE decode of every chunk starts blindly at the chunk's first bit
+// -- four chunk cursors interleave in one loop, so the four independent
+// load->shift->add dependency chains overlap on the superscalar core
+// (measured ~3.5-4x one cursor). Each reference decode records every code
+// start (a bitmap + an offset list; stores sit off the critical chain).
+// The true decode enters chunk k at one of < 32 bit phases (codes are
+// <= 32 bits); each candidate phase walks until it lands on a reference
+// code start -- Huffman streams self-synchronize within a few codes -- so
+// its exit state and symbol count follow from the reference suffix. A
+// serial composition over chunks then picks the true phase chain, and
+// group offsets read straight out of the recorded boundary lists.
+// Falls back (caller runs the plain serial scan) on anything irregular:
+// no sync before chunk end, invalid codes on a needed path, oversized
+// prefixes. The device-side sidecar validation re-checks every offset
+// against the decoded code lengths regardless.
+}  // extern "C" (template members below need C++ linkage)
+
+namespace spec_scan {
+
+constexpr int64_t CB = 1 << 16;       // chunk size in bits (bitmap = 8 KB)
+constexpr int WINDOW_CHUNKS = 64;     // reference scans ahead of the walker
+
+struct Tables {
+  const int16_t* lut_len;   // [1 << lut_bits] single-symbol lengths
+  const uint8_t* multi;     // [1 << 13] (nSyms << 4) | totalLen
+  const uint16_t* mlens;    // [1 << 13] first <= 4 lengths, 4-bit nibbles
+  int lut_bits;
+  int max_len;
+  const uint32_t* first_code;
+  const int32_t* count_len;
+  const bool* has_len;
+};
+
+static inline uint32_t window(const uint8_t* buf, int64_t buf_len,
+                              int64_t p, int n) {
+  uint32_t w0, w1 = 0;
+  const int64_t word = p >> 5;
+  const int off = (int)(p & 31);
+  memcpy(&w0, buf + word * 4, 4);
+  if ((word + 2) * 4 <= buf_len) memcpy(&w1, buf + (word + 1) * 4, 4);
+  const uint64_t both = ((uint64_t)w0 << 32) | w1;
+  return (uint32_t)((both << off) >> (64 - n));
+}
+
+// exact single-symbol code length at bit pos; 0 = invalid / out of bits
+static inline int sym_len(const uint8_t* buf, int64_t buf_len,
+                          int64_t total_bits, const Tables& t, int64_t pos) {
+  if (pos + t.lut_bits > total_bits) return 0;
+  int len = t.lut_len[window(buf, buf_len, pos, t.lut_bits)];
+  if (len) return len;
+  len = t.lut_bits;
+  while (len < t.max_len) {
+    len++;
+    if (pos + len > total_bits) return 0;
+    const uint32_t code = window(buf, buf_len, pos, len);
+    if (t.has_len[len] && code >= t.first_code[len]
+        && code < t.first_code[len] + (uint32_t)t.count_len[len])
+      return len;
+  }
+  return 0;
+}
+
+struct ChunkRef {
+  std::vector<uint16_t> bounds;  // relative offsets of code starts < CB
+  std::vector<uint64_t> bitmap;  // CB bits: is this a reference code start
+};
+
+// reference-decode chunks [c0, c1) four at a time: the four cursors'
+// load->LUT->add chains are independent, so they overlap on the core
+static void scan_refs(const uint8_t* buf, int64_t buf_len, int64_t total_bits,
+                      const Tables& t, int64_t c0, int64_t c1,
+                      std::vector<ChunkRef>& refs) {
+  for (int64_t b = c0; b < c1; b += 4) {
+    int64_t pos[4];
+    int64_t base[4];
+    ChunkRef* ref[4];
+    bool act[4];
+    const int nb = (int)((c1 - b) < 4 ? (c1 - b) : 4);
+    for (int i = 0; i < nb; i++) {
+      base[i] = (b + i) * CB;
+      pos[i] = base[i];
+      ref[i] = &refs[b + i];
+      ref[i]->bounds.clear();
+      ref[i]->bounds.reserve(CB / 4);
+      ref[i]->bitmap.assign(CB / 64, 0);
+      act[i] = base[i] < total_bits;
+    }
+    for (int i = nb; i < 4; i++) act[i] = false;
+    bool any = act[0] || act[1] || act[2] || act[3];
+    while (any) {
+      any = false;
+      for (int i = 0; i < 4; i++) {
+        if (!act[i]) continue;
+        int64_t rel = pos[i] - base[i];
+        if (rel >= CB || pos[i] + 13 > total_bits) { act[i] = false; continue; }
+        const uint32_t win = window(buf, buf_len, pos[i], 13);
+        const uint8_t e = t.multi[win];
+        const int ns = e >> 4;
+        if (ns >= 1 && ns <= 4) {
+          const uint16_t ls = t.mlens[win];
+          for (int k = 0; k < ns && rel < CB; k++) {
+            ref[i]->bounds.push_back((uint16_t)rel);
+            ref[i]->bitmap[rel >> 6] |= 1ull << (rel & 63);
+            rel += (ls >> (4 * k)) & 15;
+          }
+          pos[i] = base[i] + rel;
+        } else {  // long code or > 4 tiny codes in the window
+          const int len = sym_len(buf, buf_len, total_bits, t, pos[i]);
+          if (!len) { act[i] = false; continue; }  // reference hit garbage
+          ref[i]->bounds.push_back((uint16_t)rel);
+          ref[i]->bitmap[rel >> 6] |= 1ull << (rel & 63);
+          pos[i] += len;
+        }
+        any = true;
+      }
+    }
+  }
+}
+
+// full speculative scan; returns bits consumed, or -1 (caller runs the
+// plain serial scan -- covers both corrupt streams and bail-outs)
+static int64_t run(const uint8_t* buf, int64_t buf_len, const Tables& t,
+                   int64_t n_symbols, int32_t n_groups, int32_t group,
+                   int32_t* out_offsets) {
+  const int64_t total_bits = (buf_len / 4) * 32;
+  const int64_t C = (total_bits + CB - 1) / CB;
+  if (C < 8) return -1;  // small stream: serial is fine
+
+  std::vector<ChunkRef> refs((size_t)C);
+  std::vector<int64_t> pre;  // true-path starts found by walking
+  pre.reserve(256);
+  // a chunk's true path alternates walked stretches and reference
+  // suffixes (a reference decode can end early on a garbage long-code
+  // miss, in which case the walk resumes inside the same chunk)
+  struct Seg { bool walked; int64_t a; int64_t n; };
+  std::vector<Seg> segs;
+  int64_t entry = 0;   // absolute bit of the next true code start
+  int64_t s = 0;       // symbols consumed before the current chunk
+  int32_t g = 0;
+  int64_t scanned = 0;  // chunks with a reference decode so far
+
+  for (int64_t k = 0; k < C && s < n_symbols; k++) {
+    if (k >= scanned) {
+      const int64_t hi = (k + WINDOW_CHUNKS < C) ? k + WINDOW_CHUNKS : C;
+      scan_refs(buf, buf_len, total_bits, t, scanned, hi, refs);
+      scanned = hi;
+    }
+    const int64_t base = k * CB;
+    ChunkRef& ref = refs[k];
+    pre.clear();
+    segs.clear();
+    int64_t pos = entry;
+    while (pos < base + CB) {
+      // walk until the true path lands on a reference code start
+      const int64_t w0 = (int64_t)pre.size();
+      int64_t j = -1;
+      while (pos < base + CB) {
+        const int64_t rel = pos - base;
+        if (ref.bitmap[rel >> 6] >> (rel & 63) & 1) {
+          j = std::lower_bound(ref.bounds.begin(), ref.bounds.end(),
+                               (uint16_t)rel) - ref.bounds.begin();
+          break;
+        }
+        const int len = sym_len(buf, buf_len, total_bits, t, pos);
+        if (!len) return -1;  // corrupt/truncated on the true path
+        pre.push_back(pos);
+        pos += len;
+      }
+      if ((int64_t)pre.size() > w0)
+        segs.push_back({true, w0, (int64_t)pre.size() - w0});
+      if (j < 0) break;  // crossed into chunk k + 1
+      // follow the reference to its recorded end
+      segs.push_back({false, j, (int64_t)ref.bounds.size() - j});
+      const int64_t last = base + ref.bounds.back();
+      const int len = sym_len(buf, buf_len, total_bits, t, last);
+      if (!len) return -1;
+      pos = last + len;  // < base + CB only if the reference ended early
+    }
+    entry = pos;
+    int64_t count_k = 0;
+    for (const Seg& sg : segs) count_k += sg.n;
+
+    // boundary at true-path local index (within this chunk)
+    auto bound_at = [&](int64_t local) -> int64_t {
+      for (const Seg& sg : segs) {
+        if (local < sg.n)
+          return sg.walked ? pre[sg.a + local] : base + ref.bounds[sg.a + local];
+        local -= sg.n;
+      }
+      return -1;
+    };
+    while (g < n_groups && (int64_t)g * group < s + count_k) {
+      out_offsets[g] = (int32_t)bound_at((int64_t)g * group - s);
+      g++;
+    }
+    if (s + count_k >= n_symbols) {
+      // end of the final symbol = its start + its length
+      const int64_t start = bound_at(n_symbols - 1 - s);
+      const int len = sym_len(buf, buf_len, total_bits, t, start);
+      if (!len || g != n_groups) return -1;
+      return start + len;
+    }
+    s += count_k;
+    // past chunks' memory is dead weight on big streams
+    if (k >= 1) { refs[k - 1] = ChunkRef(); }
+  }
+  return -1;  // symbols exhausted the stream
+}
+
+}  // namespace spec_scan
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Lengths-only Huffman scan: bit offset of each symbol group's first code.
+// This is the cheap serial pass that makes FOREIGN 8-bit blobs (no encoder
+// sidecar) device-decodable: the offsets feed the same device-parallel
+// group decode as encoder-produced sidecars, and the device side re-checks
+// them against the decoded code lengths, so a scan bug cannot produce
+// silently wrong pixels. A 16-bit multi-symbol LUT (total length + count
+// of the complete codes inside the window) advances ~2-4 symbols per
+// lookup, several times faster than full decode (no symbol writes, no LUT
+// misses on the hot path). group_counts[g] is the number of wire symbols
+// in group g (64, a partial tail, or 0 for masked gap groups). Returns
+// total bits consumed or -1.
+int64_t lerc_huffman_group_offsets(
+    const uint8_t* buf, int64_t buf_len,
+    const int32_t* lengths, const uint32_t* codes, int32_t table_size,
+    int32_t n_groups, const int32_t* group_counts, int32_t* out_offsets) {
+  int max_len = 0;
+  for (int i = 0; i < table_size; i++)
+    if (lengths[i] > max_len) max_len = lengths[i];
+  if (max_len <= 0 || max_len > 32) return -1;
+  const int lut_bits = max_len < 12 ? max_len : 12;
+  const int lut_size = 1 << lut_bits;
+  int16_t* lut_len = new int16_t[lut_size]();
+  uint32_t first_code[33] = {0};
+  int32_t count_len[33] = {0};
+  bool has_len[33] = {false};
+  for (int i = 0; i < table_size; i++) {
+    const int len = lengths[i];
+    if (len <= 0) continue;
+    if (!has_len[len]) { has_len[len] = true; first_code[len] = codes[i]; }
+    else if (codes[i] < first_code[len]) first_code[len] = codes[i];
+    count_len[len]++;
+    if (len <= lut_bits) {
+      const uint32_t base = codes[i] << (lut_bits - len);
+      const uint32_t span = 1u << (lut_bits - len);
+      for (uint32_t k = 0; k < span; k++) lut_len[base + k] = (int16_t)len;
+    }
+  }
+  // 13-bit multi-symbol LUT, packed (nSyms << 4) | totalLen in one byte:
+  // 8 KB stays L1-resident, which is what makes the hot loop fast (a
+  // 16-bit table measured L2-bound at ~235 Msym/s; this layout ~3-4x).
+  // With only k < lut_bits lookahead bits a zero-padded lookup is sound
+  // iff the resolved length <= k (prefix property: the code is those top
+  // bits themselves).
+  const int MB = 13;
+  uint8_t* multi = new uint8_t[1 << MB];
+  uint16_t* mlens = new uint16_t[1 << MB];  // first <= 4 lengths, nibbles
+  for (uint32_t v = 0; v < (1u << MB); v++) {
+    int tl = 0, ns = 0;
+    uint16_t ls = 0;
+    while (tl < MB && ns < 15) {
+      const int k = MB - tl;
+      const int take = lut_bits < k ? lut_bits : k;
+      uint32_t win = ((v << tl) & ((1u << MB) - 1)) >> (MB - take);
+      win <<= (lut_bits - take);  // zero-pad to the LUT width
+      const int len = lut_len[win];
+      if (len == 0 || len > k) break;
+      if (ns < 4) ls |= (uint16_t)(len << (4 * ns));
+      tl += len;
+      ns++;
+    }
+    multi[v] = (uint8_t)((ns << 4) | tl);
+    mlens[v] = ls;
+  }
+
+  // uniform groups (every entry `G` except a tail; the unmasked whole-
+  // image layout) on a sizable stream: speculative chunk-parallel scan
+  {
+    bool uniform = n_groups > 0;
+    const int32_t G0 = group_counts[0];
+    int64_t n_symbols = 0;
+    for (int32_t g2 = 0; g2 < n_groups; g2++) {
+      n_symbols += group_counts[g2];
+      if (group_counts[g2] != G0 && g2 != n_groups - 1) uniform = false;
+    }
+    if (uniform && n_groups >= 2 && group_counts[n_groups - 1] <= G0
+        && n_symbols > 0) {
+      spec_scan::Tables t{lut_len, multi, mlens, lut_bits, max_len,
+                          first_code, count_len, has_len};
+      const int64_t r = spec_scan::run(buf, buf_len, t, n_symbols,
+                                       n_groups, G0, out_offsets);
+      if (r >= 0) {
+        delete[] lut_len; delete[] multi; delete[] mlens;
+        return r;
+      }
+    }
+  }
+
+  const int64_t total_bits = (buf_len / 4) * 32;
+  auto read_window = [&](int64_t p, int n) -> uint32_t {
+    uint32_t w0, w1 = 0;
+    const int64_t word = p >> 5;
+    const int off = (int)(p & 31);
+    memcpy(&w0, buf + word * 4, 4);
+    if ((word + 2) * 4 <= buf_len) memcpy(&w1, buf + (word + 1) * 4, 4);
+    const uint64_t both = ((uint64_t)w0 << 32) | w1;
+    return (uint32_t)((both << off) >> (64 - n));
+  };
+
+  int64_t bitpos = 0;
+  bool ok = true;
+  // rolling 64-bit window: bits [bitpos, bitpos + 32) live at the top of
+  // (cur << off); refill crosses at most one word per multi step
+  for (int32_t g = 0; g < n_groups && ok; g++) {
+    out_offsets[g] = (int32_t)bitpos;
+    const int32_t cnt = group_counts[g];
+    int32_t s = 0;
+    if (bitpos + 64 <= total_bits) {
+      int64_t word = bitpos >> 5;
+      uint32_t w0, w1;
+      memcpy(&w0, buf + word * 4, 4);
+      memcpy(&w1, buf + word * 4 + 4, 4);
+      uint64_t cur = ((uint64_t)w0 << 32) | w1;
+      int off = (int)(bitpos & 31);
+      // fast path: whole multi steps while >= 32 lookahead bits remain
+      while (s < cnt) {
+        const uint32_t win = (uint32_t)((cur << off) >> (64 - MB));
+        const uint8_t e = multi[win];
+        const int ns = e >> 4;
+        if (!ns || s + ns > cnt) break;  // long code or group boundary
+        const int tl = e & 15;
+        off += tl;
+        bitpos += tl;
+        s += ns;
+        if (off >= 32) {
+          word++;
+          if ((word + 2) * 4 > buf_len) break;  // tail: exact path below
+          uint32_t wn;
+          memcpy(&wn, buf + word * 4 + 4, 4);
+          cur = (cur << 32) | wn;
+          off -= 32;
+        }
+      }
+    }
+    while (s < cnt) {
+      if (bitpos + 16 <= total_bits) {
+        const uint8_t e = multi[read_window(bitpos, MB)];
+        const int ns = e >> 4;
+        if (ns && s + ns <= cnt) { bitpos += (e & 15); s += ns; continue; }
+      }
+      // single-symbol step (window tail, long code, or group boundary)
+      if (bitpos + lut_bits > total_bits) { ok = false; break; }
+      int len = lut_len[read_window(bitpos, lut_bits)];
+      if (len == 0) {
+        uint32_t code;
+        len = lut_bits;
+        bool found = false;
+        while (len < max_len) {
+          len++;
+          if (bitpos + len > total_bits) break;
+          code = read_window(bitpos, len);
+          if (has_len[len] && code >= first_code[len]
+              && code < first_code[len] + (uint32_t)count_len[len]) {
+            found = true;
+            break;
+          }
+        }
+        if (!found) { ok = false; break; }
+      }
+      bitpos += len;
+      s++;
+    }
+  }
+  delete[] lut_len; delete[] multi; delete[] mlens;
+  return ok ? bitpos : -1;
 }
 
 // ---------------------------------------------------------------------------
