@@ -723,3 +723,30 @@ def test_native_huffman_group_offsets_matches_sidecar():
     out = decode_band_device(blob)  # foreign-style: no index passed
     assert out is not None
     np.testing.assert_array_equal(out.data[:, :, 0], img)
+
+
+def test_native_huffman_spec_scan_matches_serial(monkeypatch):
+    """The speculative chunk-parallel scan (multicore path, forced via
+    LERC_SPEC_THREADS) agrees bit-for-bit with the serial multi-LUT walk."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from lerc_tpu.codec import huffman as hh
+    rng = np.random.default_rng(9)
+    n = 1 << 20
+    syms = ((rng.standard_normal(n) * 6).astype(np.int64) % 256).astype(np.uint8)
+    hist = np.bincount(syms, minlength=256).astype(np.int64)
+    lengths = hh.compute_code_lengths(hist)
+    codes = hh.canonical_codes(lengths)
+    stream = hh.encode_symbols(syms, lengths, codes)
+    buf = np.frombuffer(stream, np.uint8)
+    cap = -(-max(buf.size, 512) // 512) * 512
+    sp = np.zeros(cap, np.uint8)
+    sp[: buf.size] = buf
+    n_groups = -(-n // 64)
+    counts = np.full(n_groups, 64, np.int32)
+    counts[-1] = n - (n_groups - 1) * 64
+    monkeypatch.setenv("LERC_SPEC_THREADS", "0")
+    serial = native.huffman_group_offsets(sp, lengths, codes, counts)
+    monkeypatch.setenv("LERC_SPEC_THREADS", "4")
+    spec = native.huffman_group_offsets(sp, lengths, codes, counts)
+    np.testing.assert_array_equal(serial, spec)
