@@ -455,21 +455,34 @@ def _decode_fpl_band_device(src, pos, head, sidecar):
             planes[byte_index] = jnp.asarray(
                 fpl_impl.decode_packbits(payload[1:], n))
         elif method == 0:  # Huffman via the group sidecar
-            sb = sidecar.get(int(byte_index)) if sidecar else None
-            if sb is None:
-                return None  # foreign blob: host path
             lengths, codes, used = huffman.read_code_table(payload[1:], 5)
             max_len = int(lengths.max(initial=0))
             # max_len > 30 overflows the int32 canonical consts: host path
-            if (max_len == 0 or max_len > 30
-                    or np.asarray(sb).shape[0] != -(-n // device_huffman.GROUP)):
+            if max_len == 0 or max_len > 30:
                 return None
-            consts, sorted_syms = device_huffman.canonical_decode_consts(
-                lengths, codes)
             stream_np = np.frombuffer(payload[1 + used :], np.uint8)
             cap = -(-max(stream_np.size, 512) // 512) * 512
             sp = np.zeros(cap, np.uint8)
             sp[: stream_np.size] = stream_np
+            sb = sidecar.get(int(byte_index)) if sidecar else None
+            n_groups = -(-n // device_huffman.GROUP)
+            if sb is None:
+                # foreign blob: rebuild the plane's group offsets with the
+                # native lengths-only scan (fpl planes are always full-n
+                # unmasked symbol runs; masked fpl routes to host upstream)
+                if not native.available():
+                    return None
+                counts = np.full(n_groups, device_huffman.GROUP, np.int32)
+                counts[-1] = n - (n_groups - 1) * device_huffman.GROUP
+                try:
+                    sb = native.huffman_group_offsets(sp, lengths, codes,
+                                                      counts)
+                except ValueError:
+                    return None  # corrupt stream: host raises its own error
+            if np.asarray(sb).shape[0] != n_groups:
+                return None
+            consts, sorted_syms = device_huffman.canonical_decode_consts(
+                lengths, codes)
             lanes = np.zeros((16, 16, 1), np.float32)
             lanes[:, :, 0] = sorted_syms.reshape(16, 16)
             syms, _used_bits, ok = device_huffman.decode_stream_device(
@@ -809,7 +822,8 @@ def decode_band_device(
     offsets) enables device-parallel Huffman decode of 8-bit whole-image
     blobs; the sidecar is validated against the decoded code lengths, so
     a stale/tampered index raises instead of decoding garbage. Foreign
-    blobs (no sidecar) take the native host Huffman path."""
+    blobs (no sidecar) rebuild the offsets with the native lengths-only
+    scan, for whole-image Huffman and for fpl planes alike."""
     if not native.available():
         return None
     src = memoryview(buf)
@@ -819,13 +833,12 @@ def decode_band_device(
         return None
     if head.micro_block_size != 8:
         return None
-    if head.dt == DataType.DOUBLE and head.max_z_error == 0 and not (
-        index is not None and index.get("fpl_sbits") is not None
-        and head.try_huffman_flt()
-    ):
-        # lossless f64 without the fpl sidecar: host path (the device fpl
-        # restore needs the per-plane offsets). Lossy f64 tiling proceeds
-        # to the exact softfloat dequant route below.
+    if (head.dt == DataType.DOUBLE and head.max_z_error == 0
+            and not head.try_huffman_flt()):
+        # lossless f64 on a pre-fpl wire version: host path. (v6 fpl blobs
+        # proceed: the per-plane offsets come from the encoder sidecar or,
+        # for foreign blobs, the native lengths-only scan. Lossy f64
+        # tiling takes the exact softfloat dequant route below.)
         return None
     h, w, d = head.n_rows, head.n_cols, head.n_depth
     np_dt = DT_TO_NUMPY[head.dt]
@@ -893,10 +906,12 @@ def decode_band_device(
                 if img is not None:
                     out.data = np.asarray(img)
                     return out
-            if (index is not None and index.get("fpl_sbits") is not None
-                    and head.try_huffman_flt() and flag == 3
+            if (head.try_huffman_flt() and flag == 3
                     and head.num_valid_pixel == h * w):
-                img = _decode_fpl_band_device(src, pos, head, index["fpl_sbits"])
+                # encoder sidecar when present; foreign blobs rebuild the
+                # per-plane offsets via the native lengths-only scan
+                fpl_sb = index.get("fpl_sbits") if index is not None else None
+                img = _decode_fpl_band_device(src, pos, head, fpl_sb)
                 if img is not None:
                     out.data = np.asarray(img)
                     return out

@@ -186,9 +186,11 @@ class ResidentCodec:
         else:
             zmax_arg = jnp.asarray(z_max_vec.astype(np.float32))
         if blob.starts is None and self._mask_dev is not None:
-            raise ValueError(
-                "masked resident decode requires the record-offset index"
-            )
+            # no index: masked record sizes are non-uniform, so the device
+            # exclusive-scan cannot resolve them. Fall back to the native
+            # host scanner (one stream download), then decode on device --
+            # same wiring as decode_band_device for foreign masked blobs.
+            return self._decode_masked_scan(blob, zmax_arg)
         if blob.starts is not None:
             # scan-free path: the encoder's record-offset index. nb_cap
             # sizes the extraction for narrow packed widths (pw 33 vs 65:
@@ -224,6 +226,50 @@ class ResidentCodec:
             self._ones if all_valid else self._mask_dev,
             jnp.float32(head.max_z_error), zmax_arg,
             head.n_rows, head.n_cols, d, head.dt, all_valid, False,
+        )
+
+    def _decode_masked_scan(self, blob: ResidentBlob, zmax_arg) -> jax.Array:
+        """Masked decode without the record-offset index: native host scan
+        of the tile stream (per-record sizes depend on per-block valid
+        counts), then the standard device tile decode."""
+        from .. import native
+
+        if not native.available():
+            raise ValueError(
+                "masked resident decode needs the record-offset index or "
+                "the native scanner"
+            )
+        head = blob.hd
+        d = head.n_depth
+        stream_np = np.asarray(blob.stream).view(np.uint8)[: blob.total]
+        nbv, nbh = self.h // 8, self.w // 8
+        n_blocks = nbv * nbh
+        vb = self.mask_np.reshape(nbv, 8, nbh, 8).transpose(0, 2, 1, 3)
+        cnts = vb.reshape(n_blocks, 64).sum(axis=1).astype(np.int32)
+        j0s = ((np.arange(n_blocks, dtype=np.int32) % nbh) * 8).astype(np.int32)
+        recs, _ = native.tile_scan(
+            stream_np, cnts, j0s, n_blocks, d, int(head.dt), head.version
+        )
+        if (recs["mode"] >= 8).any():
+            raise ValueError("depth-diff records: host decode required")
+        if dt_is_int(head.dt):
+            offsets = recs["offset"].astype(np.int32)
+        else:
+            offsets = recs["offset"].astype(np.float32)
+        return device_decode.decode_tiles(
+            jnp.asarray(stream_np),
+            jnp.asarray(recs["mode"]),
+            jnp.asarray(recs["payload_pos"].astype(np.int32)),
+            jnp.asarray(offsets),
+            jnp.asarray(recs["num_bits"]),
+            jnp.asarray(recs["num_elements"]),
+            jnp.asarray(recs["lut_pos"].astype(np.int32)),
+            jnp.asarray(recs["n_lut"]),
+            jnp.asarray(recs["nbits_lut"]),
+            self._mask_dev,
+            jnp.float32(head.max_z_error), zmax_arg,
+            head.n_rows, head.n_cols, d, head.dt, False,
+            bool((recs["mode"] == 4).any()),
         )
 
 

