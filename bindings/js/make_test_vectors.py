@@ -1,0 +1,149 @@
+"""Generate the JS-decoder conformance vectors (run from the repo root).
+
+Each vector is a LERC blob (reference-encoded via tests/oracle.py, our own
+encoder, and the golden files) with the expected decode result, serialized
+base64 into test/vectors.js for the browser harness (test/harness.html).
+Expected pixels/masks come from the reference C++ library, so the JS decoder
+is held to the same oracle as the Python/TPU paths."""
+import base64
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # never touch the TPU tunnel here
+
+from tests import oracle  # noqa: E402
+from lerc_tpu import api  # noqa: E402
+
+
+def b64(x) -> str:
+    return base64.b64encode(bytes(x)).decode()
+
+
+def expected_from_oracle(blob: bytes):
+    info = oracle.blob_info(blob)
+    data, masks, uses, nodata = oracle.decode(blob, info)
+    n_bands, n_masks = info["nBands"], info["nMasks"]
+    exp = {
+        "width": info["nCols"], "height": info["nRows"],
+        "depth": info["nDepth"], "bands": n_bands, "dtype": info["dataType"],
+        "pixels": [b64(np.ascontiguousarray(data[b]).tobytes()) for b in range(n_bands)],
+        "masks": None,
+    }
+    if n_masks > 0:
+        exp["masks"] = [b64(masks[min(b, n_masks - 1)].astype(np.uint8).tobytes())
+                        for b in range(n_bands)]
+    return exp
+
+
+def main():
+    rng = np.random.default_rng(42)
+    vectors = []
+
+    def add(name, blob):
+        vectors.append({"name": name, "blob": b64(blob),
+                        "expected": expected_from_oracle(blob)})
+
+    h, w = 67, 83  # partial edge blocks
+    x, y = np.meshgrid(np.linspace(0, 9, w), np.linspace(0, 7, h))
+    dem = (np.sin(x) * np.cos(y) * 500 + x * y).astype(np.float64)
+    mask = (rng.random((h, w)) > 0.3).astype(np.uint8)
+
+    # tiling across dtypes, lossy + lossless, masked + unmasked
+    for arr in [
+        np.round(dem / 8).astype(np.int8),
+        np.clip(np.round(dem / 4) + 128, 0, 255).astype(np.uint8),
+        np.round(dem * 30).astype(np.int16),
+        np.clip(np.round(dem * 30) + 20000, 0, 65535).astype(np.uint16),
+        np.round(dem * 1000).astype(np.int32),
+        (np.round(dem * 1000) + 600000).astype(np.uint32),
+        dem.astype(np.float32),
+        dem,
+    ]:
+        mze = 1.0 if arr.dtype.kind in "iu" and arr.dtype.itemsize == 1 else (
+            0.0 if arr.dtype.kind in "iu" else 0.01)
+        add(f"tiling-{arr.dtype.name}", oracle.encode(arr, 1, w, h, 1, None, mze))
+        add(f"tiling-{arr.dtype.name}-masked",
+            oracle.encode(arr * mask.astype(arr.dtype), 1, w, h, 1, mask, mze))
+
+    # versions 2..6 (f32 lossy)
+    f32 = dem.astype(np.float32)
+    for v in (2, 3, 4, 5, 6):
+        add(f"tiling-f32-v{v}", oracle.encode(f32, 1, w, h, 1, None, 0.01, version=v))
+
+    # LUT-friendly segmented image
+    seg = ((np.floor(x * 2) + np.floor(y * 3)) * 10).astype(np.float32)
+    add("lut-f32", oracle.encode(seg, 1, w, h, 1, None, 0.5))
+
+    # whole-image Huffman: delta + direct, masked + unmasked, depth 3
+    smooth = (np.cumsum(rng.integers(-2, 3, size=h * w)).astype(np.int64) % 200
+              ).astype(np.uint8).reshape(h, w)
+    add("huffman-delta-u8", oracle.encode(smooth, 1, w, h, 1, None, 0.0))
+    add("huffman-delta-u8-masked",
+        oracle.encode(smooth * mask, 1, w, h, 1, mask, 0.0))
+    noisy8 = rng.choice(np.arange(-5, 6, dtype=np.int8), size=(h, w),
+                        p=np.r_[np.full(5, 0.02), 0.8, np.full(5, 0.02)])
+    add("huffman-direct-s8", oracle.encode(noisy8, 1, w, h, 1, None, 0.0))
+    d3 = (np.cumsum(rng.integers(-1, 2, (h, w, 3)), axis=1) % 150).astype(np.uint8)
+    add("huffman-u8-depth3", oracle.encode(d3, 3, w, h, 1, None, 0.0))
+    add("huffman-u8-depth3-masked",
+        oracle.encode(d3 * mask[:, :, None], 3, w, h, 1, mask, 0.0))
+
+    # fpl lossless float/double, depth 1 + 3
+    add("fpl-f32", oracle.encode(f32, 1, w, h, 1, None, 0.0))
+    add("fpl-f64", oracle.encode(dem * np.pi, 1, w, h, 1, None, 0.0))
+    f3 = np.stack([f32, f32 * 0.5 + 3, f32 * -0.25], axis=-1)
+    add("fpl-f32-depth3", oracle.encode(np.ascontiguousarray(f3), 3, w, h, 1, None, 0.0))
+
+    # depth 3 lossy tiling (zMin/zMax vectors + depth loop)
+    add("tiling-f32-depth3", oracle.encode(np.ascontiguousarray(f3), 3, w, h, 1, None, 0.01))
+
+    # const image + all-invalid mask
+    add("const-f32", oracle.encode(np.full((h, w), 7.25, np.float32), 1, w, h, 1, None, 0.01))
+    add("all-invalid", oracle.encode(np.zeros((h, w), np.float32), 1, w, h, 1,
+                                     np.zeros((h, w), np.uint8), 0.01))
+
+    # multiband (3 bands, shared + per-band masks)
+    b3 = np.ascontiguousarray(np.stack([f32, f32 * 2 + 5, f32 * -1], axis=0))
+    add("bands3-f32", oracle.encode(b3, 1, w, h, 3, None, 0.01))
+    masks3 = np.stack([mask, (rng.random((h, w)) > 0.5).astype(np.uint8),
+                       np.ones((h, w), np.uint8)], axis=0)
+    add("bands3-f32-masks",
+        oracle.encode(b3 * masks3.astype(np.float32), 1, w, h, 3, masks3, 0.01))
+
+    # noData pass-through (v6)
+    nd = f32.copy()
+    nd[::7, ::5] = -9999.0
+    add("nodata-f32", oracle.encode(nd, 1, w, h, 1, None, 0.01,
+                                    uses_nodata=np.array([1], np.uint8),
+                                    nodata=np.array([-9999.0], np.float64)))
+
+    # our own encoder's wire (device/host paths), decoded by the reference
+    rv = api.encode(f32, 1, False, None, 0.01, 0)
+    assert rv[0] == 0
+    rv = api.encode(f32, 1, False, None, 0.01, rv[1])
+    add("ours-f32", bytes(rv[2]))
+    rv = api.encode(smooth, 1, True, mask.astype(bool), 0.0, 1 << 20)
+    assert rv[0] == 0
+    add("ours-huffman-masked", bytes(rv[2]))
+
+    # golden blobs
+    td = pathlib.Path("/root/reference/testData")
+    add("golden-california", (td / "california_400_400_1_float.lerc2").read_bytes())
+    add("golden-bluemarble", (td / "bluemarble_256_256_3_byte.lerc2").read_bytes())
+    add("golden-world-lerc1", (td / "world.lerc1").read_bytes())
+
+    out = pathlib.Path(__file__).parent / "test" / "vectors.js"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("window.VECTORS = " + json.dumps(vectors) + ";\n")
+    print(f"wrote {len(vectors)} vectors to {out} ({out.stat().st_size} bytes)")
+
+
+if __name__ == "__main__":
+    main()

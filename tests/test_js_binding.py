@@ -1,0 +1,155 @@
+"""JS-binding conformance: runs the operator-exact Python simulation of
+bindings/js/lerc.js (bindings/js/js_sim.py) over the same vector matrix the
+browser harness uses, cross-checked against the reference C++ library. A
+logic error in the JS decoder's algorithms fails here; the one-click
+harness (bindings/js/test/harness.html) covers real-JS execution."""
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+from . import oracle
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "bindings" / "js"))
+import js_sim  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference lib not built")
+
+H, W = 67, 83
+RNG = np.random.default_rng(42)
+X, Y = np.meshgrid(np.linspace(0, 9, W), np.linspace(0, 7, H))
+DEM = (np.sin(X) * np.cos(Y) * 500 + X * Y).astype(np.float64)
+MASK = (RNG.random((H, W)) > 0.3).astype(np.uint8)
+
+
+def check(blob):
+    info = oracle.blob_info(blob)
+    data, masks, _, _ = oracle.decode(blob, info)
+    got = js_sim.decode(blob)
+    assert got["width"] == info["nCols"] and got["height"] == info["nRows"]
+    assert len(got["pixels"]) == info["nBands"]
+    n_masks = info["nMasks"]
+    for b in range(info["nBands"]):
+        exp = np.ascontiguousarray(data[b]).reshape(-1)
+        gp = np.asarray(got["pixels"][b])
+        assert gp.dtype == exp.dtype, (gp.dtype, exp.dtype)
+        if n_masks > 0:
+            m = masks[min(b, n_masks - 1)].reshape(-1).astype(bool)
+            md = np.repeat(m, info["nDepth"])
+            np.testing.assert_array_equal(gp[md], exp[md])
+            gm = (got["bandMasks"][b] if got["bandMasks"] is not None
+                  else got["mask"])
+            assert gm is not None
+            np.testing.assert_array_equal(np.asarray(gm).astype(bool), m)
+        else:
+            np.testing.assert_array_equal(gp, exp)
+
+
+@pytest.mark.parametrize("dtype", ["int8", "uint8", "int16", "uint16",
+                                   "int32", "uint32", "float32", "float64"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_js_tiling(dtype, masked):
+    arr = {
+        "int8": np.round(DEM / 8).astype(np.int8),
+        "uint8": np.clip(np.round(DEM / 4) + 128, 0, 255).astype(np.uint8),
+        "int16": np.round(DEM * 30).astype(np.int16),
+        "uint16": np.clip(np.round(DEM * 30) + 20000, 0, 65535).astype(np.uint16),
+        "int32": np.round(DEM * 1000).astype(np.int32),
+        "uint32": (np.round(DEM * 1000) + 600000).astype(np.uint32),
+        "float32": DEM.astype(np.float32),
+        "float64": DEM,
+    }[dtype]
+    mze = 1.0 if arr.dtype.kind in "iu" and arr.dtype.itemsize == 1 else (
+        0.0 if arr.dtype.kind in "iu" else 0.01)
+    m = MASK if masked else None
+    data = arr * MASK.astype(arr.dtype) if masked else arr
+    check(oracle.encode(data, 1, W, H, 1, m, mze))
+
+
+@pytest.mark.parametrize("version", [2, 3, 4, 5, 6])
+def test_js_versions(version):
+    check(oracle.encode(DEM.astype(np.float32), 1, W, H, 1, None, 0.01,
+                        version=version))
+
+
+def test_js_lut():
+    seg = ((np.floor(X * 2) + np.floor(Y * 3)) * 10).astype(np.float32)
+    check(oracle.encode(seg, 1, W, H, 1, None, 0.5))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_js_huffman_delta(masked):
+    smooth = (np.cumsum(RNG.integers(-2, 3, size=H * W)).astype(np.int64) % 200
+              ).astype(np.uint8).reshape(H, W)
+    m = MASK if masked else None
+    check(oracle.encode(smooth * MASK if masked else smooth, 1, W, H, 1, m, 0.0))
+
+
+def test_js_huffman_direct_s8():
+    noisy = RNG.choice(np.arange(-5, 6, dtype=np.int8), size=(H, W),
+                       p=np.r_[np.full(5, 0.02), 0.8, np.full(5, 0.02)])
+    check(oracle.encode(noisy, 1, W, H, 1, None, 0.0))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_js_huffman_depth3(masked):
+    d3 = (np.cumsum(RNG.integers(-1, 2, (H, W, 3)), axis=1) % 150).astype(np.uint8)
+    m = MASK if masked else None
+    check(oracle.encode(d3 * MASK[:, :, None] if masked else d3, 3, W, H, 1, m, 0.0))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_js_fpl(dtype):
+    check(oracle.encode((DEM * np.pi).astype(dtype), 1, W, H, 1, None, 0.0))
+
+
+def test_js_fpl_depth3():
+    f32 = DEM.astype(np.float32)
+    f3 = np.ascontiguousarray(np.stack([f32, f32 * 0.5 + 3, f32 * -0.25], -1))
+    check(oracle.encode(f3, 3, W, H, 1, None, 0.0))
+
+
+def test_js_tiling_depth3():
+    f32 = DEM.astype(np.float32)
+    f3 = np.ascontiguousarray(np.stack([f32, f32 * 0.5 + 3, f32 * -0.25], -1))
+    check(oracle.encode(f3, 3, W, H, 1, None, 0.01))
+
+
+def test_js_const_and_all_invalid():
+    check(oracle.encode(np.full((H, W), 7.25, np.float32), 1, W, H, 1, None, 0.01))
+    check(oracle.encode(np.zeros((H, W), np.float32), 1, W, H, 1,
+                        np.zeros((H, W), np.uint8), 0.01))
+
+
+def test_js_multiband():
+    f32 = DEM.astype(np.float32)
+    b3 = np.ascontiguousarray(np.stack([f32, f32 * 2 + 5, f32 * -1], 0))
+    check(oracle.encode(b3, 1, W, H, 3, None, 0.01))
+    masks3 = np.stack([MASK, (RNG.random((H, W)) > 0.5).astype(np.uint8),
+                       np.ones((H, W), np.uint8)], 0)
+    check(oracle.encode(b3 * masks3.astype(np.float32), 1, W, H, 3, masks3, 0.01))
+
+
+def test_js_nodata():
+    nd = DEM.astype(np.float32)
+    nd[::7, ::5] = -9999.0
+    check(oracle.encode(nd, 1, W, H, 1, None, 0.01,
+                        uses_nodata=np.array([1], np.uint8),
+                        nodata=np.array([-9999.0], np.float64)))
+
+
+def test_js_golden_blobs():
+    td = pathlib.Path("/root/reference/testData")
+    check((td / "california_400_400_1_float.lerc2").read_bytes())
+    check((td / "bluemarble_256_256_3_byte.lerc2").read_bytes())
+    check((td / "world.lerc1").read_bytes())
+
+
+def test_js_hostile():
+    blob = (pathlib.Path("/root/reference/testData") /
+            "california_400_400_1_float.lerc2").read_bytes()
+    for bad in [blob[:40], b"garbage" * 5, b"",
+                blob[:200] + bytes([blob[200] ^ 0xFF]) + blob[201:]]:
+        with pytest.raises(js_sim.LercError):
+            js_sim.decode(bad)
