@@ -8,10 +8,13 @@ Huffman (all-valid and masked), float32 AND float64 lossless fpl (u32
 limb pairs), float64 lossy tiling (double-single); the maxZError
 analyses (auto-raise, bit-plane cut) run host-side in exact f64.
 
-Decode coverage: the scan-free tiling fast path (all-valid and masked)
-plus sidecar-accelerated whole-image Huffman and fpl (f32 and f64)
-decodes; foreign blobs and the remaining corners (masked Huffman, f64
-tiling, 16x16, LUT) take the host/native paths.
+Decode coverage: the scan-free tiling fast path (all-valid and masked,
+LUT and 16x16 records included), whole-image Huffman (masked included)
+and fpl f32/f64 via per-group bit-offset sidecars -- rebuilt by the
+native lengths-only scan for FOREIGN blobs, so reference-encoded 8-bit
+and lossless-float blobs decode device-parallel too -- and lossy f64
+tiling via exact softfloat dequant. Remaining host corners: masked fpl,
+pre-v6 lossless f64, one-sweep, depth-diff records.
 """
 from __future__ import annotations
 
@@ -582,7 +585,11 @@ def _scan_huffman_offsets(sp, lengths, codes, head, mode, mask, n, n_groups):
     else:
         h, w, d = head.n_rows, head.n_cols, head.n_depth
         npx = h * w
-        nv = head.num_valid_pixel
+        # valid count from the DECODED mask, not the header: the host and
+        # reference decoders size the symbol stream off the mask bits, and
+        # a (corrupt) wire may disagree with numValidPixel -- trusting the
+        # header here made the device path silently diverge on such blobs
+        nv = int(np.count_nonzero(mask))
         if mode == ImageEncodeMode.DELTA_HUFFMAN and d > 1:
             # depth-major planes of npx rank slots, the first nv live
             p = np.arange(n_groups * G)
@@ -662,7 +669,7 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits, mask=None):
     # ---- masked route
     npx = h * w
     mflat = mask.reshape(npx)
-    nv = head.num_valid_pixel
+    nv = int(np.count_nonzero(mask))  # mask-derived, as the host/reference
     G = device_huffman.GROUP
     if delta:
         # delta symbols are depth-major, nv live + (npx - nv) gaps per plane

@@ -108,10 +108,13 @@ def test_fallback_routing():
     assert supports_encode(DataType.BYTE, 0.0, 1, all_valid=False)  # masked too
     assert supports_encode(DataType.FLOAT, 0.0, 1)  # device fpl lossless
     assert supports_encode(DataType.FLOAT, 0.001, 1)
-    # device decoder bails to host on one-sweep blobs
+    # one-sweep blobs bail to host; fpl blobs (foreign incl.) decode on
+    # device via the native lengths-only scan
     noisy = np.random.default_rng(1).normal(0, 50, (H, W, 1)).astype(np.float32)
     host_blob = BandEncoder(noisy, None, 0.0).encode()
-    assert decode_band_device(host_blob) is None  # fpl or one-sweep -> host
+    res = decode_band_device(host_blob)
+    if res is not None:  # fpl was selected: must be bit-exact
+        np.testing.assert_array_equal(np.asarray(res.data)[:, :, 0], noisy[:, :, 0])
 
 
 def test_device_huffman_8bit_lossless():

@@ -140,3 +140,56 @@ def test_lerc1_legacy_fuzz():
         _must_not_crash(bytes(buf))
     for cut in range(0, len(blob), 4993):
         _must_not_crash(blob[:cut])
+
+
+def test_native_scan_differential_fuzz():
+    """Foreign-blob device decode under mutation: the native lengths-only
+    Huffman scan (lerc_huffman_group_offsets) parses UNTRUSTED bytes, so
+    checksum-refixed corruption must never crash it -- decode_band_device
+    either raises ValueError, falls back (None), or decodes; and when both
+    the device path and the host decoder accept a mutated blob, their
+    pixels must agree (same wire semantics, no silent divergence)."""
+    from lerc_tpu import native
+    from lerc_tpu.codec.device_codec import decode_band_device, encode_band_device
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(17)
+    h, w = 64, 72
+    seeds = []
+    smooth = (np.cumsum(rng.integers(-2, 3, size=h * w)).astype(np.int64)
+              % 200).astype(np.uint8).reshape(h, w)
+    seeds.append(encode_band_device(smooth[:, :, None].copy(), None, 0.5))
+    mask = rng.random((h, w)) > 0.3
+    seeds.append(encode_band_device((smooth * mask).astype(np.uint8)[:, :, None].copy(),
+                                    mask, 0.5))
+    x, y = np.meshgrid(np.linspace(0, 4, w), np.linspace(0, 3, h))
+    f = (500 * np.sin(x) * np.cos(y)).astype(np.float32)
+    seeds.append(encode_band_device(f[:, :, None].copy(), None, 0.0))  # fpl
+
+    for blob in seeds:
+        head, hdr_end = hdr.read_header(memoryview(blob))
+        for _ in range(60):
+            buf = bytearray(blob)
+            # bias mutations into the payload (table + stream), where the
+            # scanner walks
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(hdr_end, len(buf)))
+                buf[pos] = int(rng.integers(0, 256))
+            if not _refix_checksum(buf):
+                continue
+            mutated = bytes(buf)
+            try:
+                dev = decode_band_device(mutated)
+            except ValueError:
+                continue  # graceful rejection; host may reject or accept
+            if dev is None:
+                continue
+            try:
+                host = decode_blob(mutated)
+            except ValueError:
+                continue  # device stricter/looser acceptance is fine
+            m = host.masks[0]  # same wire -> same mask; invalid pixels are
+            np.testing.assert_array_equal(  # unspecified on both paths
+                np.asarray(dev.data)[m], host.data[0][m],
+                err_msg="device and host decoded the same bytes differently")
