@@ -13,10 +13,22 @@ OtherLanguages/Python/lerc/_lerc.py):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# Honor JAX_PLATFORMS before any backend initializes: plugin backends may
+# ignore the env var, and a CLI run with JAX_PLATFORMS=cpu must never open
+# the accelerator tunnel (jax.config is the only reliable switch).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 
 def _load_array(path: str) -> np.ndarray:
@@ -181,7 +193,17 @@ def main(argv=None) -> int:
     ps = sub.add_parser("selftest", help="golden blobs + synthetic round trips")
     ps.set_defaults(fn=cmd_selftest)
 
+    p.add_argument("--profile", action="store_true",
+                   help="print per-phase timing/throughput to stderr on exit")
     args = p.parse_args(argv)
+    if args.profile:
+        from . import profiling
+
+        profiling.enable()
+        try:
+            return args.fn(args)
+        finally:
+            profiling.print_stats()
     return args.fn(args)
 
 

@@ -435,3 +435,36 @@ def decompress(blob: bytes, squeeze: bool = True):
             data = data[0]
             masks = masks[0]
     return data, masks
+
+
+def decode_to_dtype(lerc_blob, np_dtype, printInfo=False):
+    """lerc_decode with an explicit output data type (Lerc_c_api.h:299-332).
+    Lerc2 blobs require the stored dtype (the C API fails otherwise);
+    Lerc1 blobs convert from float with the reference's semantics --
+    float targets cast, integer targets round half-up (Lerc.cpp:794-842).
+    Returns the usual (result, np_arr, np_valid_mask) tuple."""
+    np_dtype = np.dtype(np_dtype)
+    try:
+        info = get_lerc_info(lerc_blob)
+    except ValueError:
+        return int(ErrCode.FAILED)
+    rv = decode(lerc_blob, printInfo)
+    if not isinstance(rv, tuple) or rv[0] != 0:
+        return rv
+    _, np_arr, np_valid_mask = rv
+    if not info.is_lerc1:
+        if np_arr.dtype != np_dtype:
+            return int(ErrCode.WRONG_PARAM)
+        return rv
+    from .codec import lerc1 as _l1
+
+    mask = (np.ones(np_arr.shape[-2:], bool) if np_valid_mask is None
+            else np.asarray(np_valid_mask, bool))
+    if np_arr.ndim == 2:
+        out = _l1.convert(np_arr, mask, np_dtype)
+    else:  # [nBands, H, W]
+        out = np.stack([
+            _l1.convert(np_arr[b], mask if mask.ndim == 2 else mask[b], np_dtype)
+            for b in range(np_arr.shape[0])
+        ])
+    return (0, out, np_valid_mask)

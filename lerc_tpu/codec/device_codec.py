@@ -28,6 +28,7 @@ from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, ImageEncode
 from ..ops import device_decode, device_encode, device_f64, device_fpl, device_huffman
 from .. import native
 from . import fletcher32, header as hdr, huffman, rle
+from .. import profiling
 from .bitmask import bits_to_bool, bool_to_bits, mask_size_bytes
 from .lerc2_decode import DecodedBand
 
@@ -45,6 +46,7 @@ def supports_encode(dt: DataType, max_z_error: float, n_depth: int,
     return True
 
 
+@profiling.profiled("device.encode_band")
 def encode_band_device(
     data,  # [H, W, D] numpy or jax array
     mask: np.ndarray | None,
@@ -815,6 +817,7 @@ def _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
     return bits.view(np.float64)
 
 
+@profiling.profiled("device.decode_band")
 def decode_band_device(
     buf: bytes | memoryview,
     prev_mask: np.ndarray | None = None,

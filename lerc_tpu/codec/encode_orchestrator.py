@@ -9,6 +9,8 @@ import dataclasses
 
 import numpy as np
 
+from .. import profiling
+
 from ..constants import NUMPY_TO_DT, ErrCode
 from .lerc2_encode import BandEncoder
 
@@ -230,6 +232,7 @@ def _accel_enabled() -> bool:
         return False
 
 
+@profiling.profiled("encode_blob")
 def encode_blob(
     data: np.ndarray,
     masks: np.ndarray | None = None,

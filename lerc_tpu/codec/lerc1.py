@@ -264,3 +264,20 @@ def decode_blob(src: memoryview):
         info, data, masks,
         np.zeros(n_bands, dtype=bool), np.zeros(n_bands, dtype=np.float64),
     )
+
+
+def convert(data: np.ndarray, mask: np.ndarray, np_dtype) -> np.ndarray:
+    """Convert decoded Lerc1 float32 pixels to the caller's dtype with the
+    reference's semantics (Lerc.cpp:794-842 Convert): float targets cast,
+    integer targets use floor(z + 0.5) round-half-up; invalid pixels stay
+    zero. This is the lerc_decode(dataType != float) analog the C API
+    offers for Lerc1 blobs."""
+    np_dtype = np.dtype(np_dtype)
+    if np_dtype == np.float32:
+        return data.copy()
+    if np_dtype.kind == "f":
+        out = data.astype(np_dtype)
+    else:
+        out = np.floor(data.astype(np.float64) + 0.5).astype(np_dtype)
+    out[~mask] = 0
+    return out

