@@ -1202,9 +1202,37 @@ def decode(u8, options=None):
                     break
             if masks_differ:
                 break
+    interleaved = options.get("returnInterleaved",
+                              options.get("returnPixelInterleavedDims"))
+    out_pixels = pixels
+    if D > 1 and not interleaved:
+        out_pixels = []
+        num_pixels = H * W
+        for band in pixels:
+            bsq = np.zeros_like(band)
+            j = 0
+            for i in range(num_pixels):
+                t = i
+                for d in range(D):
+                    bsq[t] = band[j]
+                    j += 1
+                    t += num_pixels
+            out_pixels.append(bsq)
+    ndv = options.get("noDataValue")
+    if ndv is not None and mask is not None:
+        num_pixels = H * W
+        for b in range(len(out_pixels)):
+            bm = band_masks[b] if (masks_differ and band_masks[b] is not None) else mask
+            band = out_pixels[b]
+            for i in range(num_pixels):
+                if bm[i]:
+                    continue
+                for d in range(D):
+                    k = d * num_pixels + i if (D > 1 and not interleaved) else i * D + d
+                    store(band, k, ndv)
     return {
         "width": W, "height": H, "pixelType": PIXEL_TYPE[first["dt"]],
-        "pixels": pixels, "mask": mask,
+        "pixels": out_pixels, "mask": mask,
         "bandMasks": ([m if m is not None else np.ones(H * W, np.uint8)
                        for m in band_masks] if masks_differ else None),
         "dimCount": D, "depthCount": D,

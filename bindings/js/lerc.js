@@ -1037,8 +1037,35 @@
           if ((m ? m[i] : 1) !== mask[i]) { masksDiffer = true; break; }
       }
     }
+    // depth layout: band-sequential by default, interleaved on request
+    // (reference Lerc.ts:416-441 swapDepthValuesOrder, default BSQ)
+    const interleaved = options.returnInterleaved ?? options.returnPixelInterleavedDims;
+    let outPixels = pixels;
+    if (D > 1 && !interleaved) {
+      outPixels = pixels.map((band) => {
+        const bsq = new band.constructor(band.length);
+        const numPixels = H * W;
+        for (let i = 0, j = 0; i < numPixels; i++)
+          for (let d = 0, t = i; d < D; d++, t += numPixels) bsq[t] = band[j++];
+        return bsq;
+      });
+    }
+    // optional noData fill of invalid pixels (reference Lerc.ts:509-529)
+    const ndv = options.noDataValue;
+    if (ndv != null && mask) {
+      for (let b = 0; b < outPixels.length; b++) {
+        const bm = (masksDiffer && bandMasks[b]) || mask;
+        const band = outPixels[b];
+        const numPixels = H * W;
+        for (let i = 0; i < numPixels; i++) {
+          if (bm[i]) continue;
+          for (let d = 0; d < D; d++)
+            band[(D > 1 && !interleaved) ? d * numPixels + i : i * D + d] = ndv;
+        }
+      }
+    }
     return {
-      width: W, height: H, pixelType: PIXEL_TYPE[first.dt], pixels,
+      width: W, height: H, pixelType: PIXEL_TYPE[first.dt], pixels: outPixels,
       mask,
       bandMasks: masksDiffer ? bandMasks.map((m) => m || new Uint8Array(H * W).fill(1)) : null,
       dimCount: D, depthCount: D,

@@ -26,7 +26,17 @@ MASK = (RNG.random((H, W)) > 0.3).astype(np.uint8)
 def check(blob):
     info = oracle.blob_info(blob)
     data, masks, _, _ = oracle.decode(blob, info)
-    got = js_sim.decode(blob)
+    got = js_sim.decode(blob, {"returnInterleaved": True})
+    if info["nDepth"] > 1:
+        # default layout is band-sequential (reference Lerc.ts:416-441):
+        # cross-check the BSQ reorder against the interleaved wire order
+        bsq = js_sim.decode(blob)
+        npx = info["nCols"] * info["nRows"]
+        for b in range(info["nBands"]):
+            bip = np.asarray(got["pixels"][b]).reshape(npx, info["nDepth"])
+            np.testing.assert_array_equal(
+                np.asarray(bsq["pixels"][b]).reshape(info["nDepth"], npx),
+                bip.T)
     assert got["width"] == info["nCols"] and got["height"] == info["nRows"]
     assert len(got["pixels"]) == info["nBands"]
     n_masks = info["nMasks"]
@@ -153,3 +163,13 @@ def test_js_hostile():
                 blob[:200] + bytes([blob[200] ^ 0xFF]) + blob[201:]]:
         with pytest.raises(js_sim.LercError):
             js_sim.decode(bad)
+
+
+def test_js_nodata_fill_option():
+    """options.noDataValue fills invalid pixels (reference Lerc.ts:509-529)."""
+    f32 = DEM.astype(np.float32) * MASK
+    blob = oracle.encode(f32, 1, W, H, 1, MASK, 0.01)
+    got = js_sim.decode(blob, {"noDataValue": -1.5})
+    px = np.asarray(got["pixels"][0]).reshape(H, W)
+    m = MASK.astype(bool)
+    assert np.all(px[~m] == np.float32(-1.5))
