@@ -207,7 +207,104 @@ int64_t lerc_huffman_decode(
     return acc;
   };
   bool ok = true;
-  for (int32_t s = 0; s < n_symbols; s++) {
+  int32_t s_done = 0;
+  // multi-symbol fast loop (8-bit tables): a 13-bit window decodes up to
+  // 4 whole codes per lookup with a rolling 64-bit bit buffer -- the same
+  // layout that makes the lengths-only scan 4-15x the per-symbol LUT walk.
+  // Long codes / window tails drop to the exact per-symbol loop below.
+  if (table_size <= 256) {
+    const int MB = 13;
+    uint8_t* multi = new uint8_t[1 << MB];
+    uint8_t* msyms = new uint8_t[(1 << MB) * 4];
+    for (uint32_t v = 0; v < (1u << MB); v++) {
+      int tl = 0, ns = 0;
+      while (tl < MB && ns < 4) {
+        const int k = MB - tl;
+        const int take = lut_bits < k ? lut_bits : k;
+        uint32_t win = (v << tl) & ((1u << MB) - 1);
+        win >>= (MB - take);
+        win <<= (lut_bits - take);  // zero-pad to the LUT width
+        const int len = lut_len[win];
+        if (len == 0 || len > k) break;
+        msyms[v * 4 + ns] = (uint8_t)lut_sym[win];
+        tl += len;
+        ns++;
+      }
+      multi[v] = (uint8_t)((ns << 4) | tl);
+    }
+    int64_t word = 0;
+    uint32_t w0, w1;
+    uint64_t cur = 0;
+    int off = 0;
+    auto reload = [&]() -> bool {  // window over [bitpos, bitpos + 64)
+      word = bitpos >> 5;
+      if ((word + 2) * 4 > buf_len) return false;
+      memcpy(&w0, buf + word * 4, 4);
+      memcpy(&w1, buf + word * 4 + 4, 4);
+      cur = ((uint64_t)w0 << 32) | w1;
+      off = (int)(bitpos & 31);
+      return true;
+    };
+    // one exact symbol at bitpos (long code / resync); false on corruption
+    auto slow_one = [&]() -> bool {
+      if (bitpos + lut_bits > total_bits) return false;
+      const uint32_t w = read_window(bitpos, lut_bits);
+      int len = lut_len[w];
+      int sym = lut_sym[w];
+      if (len == 0) {
+        uint32_t code = w;
+        len = lut_bits;
+        bool found = false;
+        while (len < max_len) {
+          len++;
+          code = read_window(bitpos, len);
+          if (first_rank[len] >= 0) {
+            const uint32_t fc = first_code[len];
+            if (code >= fc && code < fc + (uint32_t)count_len[len]) {
+              sym = rank_sym[first_rank[len] + (code - fc)];
+              found = true;
+              break;
+            }
+          }
+        }
+        if (!found) return false;
+      }
+      out_symbols[s_done++] = sym;
+      bitpos += len;
+      return true;
+    };
+    bool have = reload();
+    while (have && s_done + 4 <= n_symbols) {
+      const uint32_t win = (uint32_t)((cur << off) >> (64 - MB));
+      const uint8_t e = multi[win];
+      const int ns = e >> 4;
+      if (ns) {
+        // 4 unconditional stores (entries past ns are overwritten later)
+        out_symbols[s_done] = msyms[win * 4];
+        out_symbols[s_done + 1] = msyms[win * 4 + 1];
+        out_symbols[s_done + 2] = msyms[win * 4 + 2];
+        out_symbols[s_done + 3] = msyms[win * 4 + 3];
+        s_done += ns;
+        const int tl = e & 15;
+        off += tl;
+        bitpos += tl;
+        if (off >= 32) {
+          word++;
+          if ((word + 2) * 4 > buf_len) { have = false; break; }
+          uint32_t wn;
+          memcpy(&wn, buf + word * 4 + 4, 4);
+          cur = (cur << 32) | wn;
+          off -= 32;
+        }
+      } else {  // long code: one exact symbol, then resume the fast loop
+        if (!slow_one()) { ok = false; break; }
+        have = reload();
+      }
+    }
+    delete[] multi; delete[] msyms;
+    if (!ok) { delete[] lut_len; delete[] lut_sym; delete[] rank_sym; return -1; }
+  }
+  for (int32_t s = s_done; s < n_symbols; s++) {
     if (bitpos + lut_bits > total_bits) { ok = false; break; }
     const uint32_t win = read_window(bitpos, lut_bits);
     int len = lut_len[win];
