@@ -55,11 +55,20 @@ try:
 except Exception as _e:  # older jax: cache flags absent
     print(f"[bench] compilation cache unavailable: {_e!r}", file=sys.stderr)
 
+# Honor JAX_PLATFORMS before the backend initializes (plugin backends may
+# ignore the env var): lets CI smoke the whole bench on CPU with
+# LERC_BENCH_TILE without ever opening the accelerator tunnel.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp  # noqa: E402
 
 from lerc_tpu.codec.resident import FusedResidentCodec  # noqa: E402
 
-TILE = 2048
+TILE = int(os.environ.get("LERC_BENCH_TILE", "2048"))  # CI smoke: small TILE
 GRID = 2  # 2x2 tiles = 4096x4096 total
 N_TILES = GRID * GRID
 MAX_Z_ERROR = 0.001
@@ -261,7 +270,8 @@ def main():
     extra["masked_encode_MBps"], extra["masked_decode_MBps"] = masked
 
     result = {
-        "metric": "encode+decode MB/s/chip (float32 4096x4096 DEM as 2048^2 tiles, maxZError=0.001)",
+        "metric": (f"encode+decode MB/s/chip (float32 {TILE*GRID}x{TILE*GRID} "
+                   f"DEM as {TILE}^2 tiles, maxZError=0.001)"),
         "value": round(ours_mbs, 1),
         "unit": "MB/s",
         "vs_baseline": round(ours_mbs / baseline, 2),

@@ -71,3 +71,25 @@ def test_config4_4d_mixed_nodata():
     if oracle.available():
         dec = oracle.decode(blob)[0].reshape(n_bands, h, w, nd)
         np.testing.assert_array_equal(dec, arr)
+
+
+def test_bench_script_smoke(tmp_path):
+    """bench.py end-to-end on tiny tiles (CPU): the driver-run artifact
+    must always print one parseable JSON line -- the round-2 failure mode
+    was a bench that produced nothing (VERDICT r2 item 1)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", LERC_BENCH_TILE="128",
+               LERC_BENCH_FAST="1")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=900, env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "MB/s" and rec["value"] > 0
+    assert "vs_baseline" in rec and "encode_MBps" in rec
