@@ -13,8 +13,9 @@ LUT and 16x16 records included), whole-image Huffman (masked included)
 and fpl f32/f64 via per-group bit-offset sidecars -- rebuilt by the
 native lengths-only scan for FOREIGN blobs, so reference-encoded 8-bit
 and lossless-float blobs decode device-parallel too -- and lossy f64
-tiling via exact softfloat dequant. Remaining host corners: masked fpl,
-pre-v6 lossless f64, one-sweep, depth-diff records.
+tiling via exact softfloat dequant; fpl is mask-oblivious so masked
+blobs take the same pipeline. Remaining host corners: pre-v6 lossless
+f64, one-sweep, depth-diff records.
 """
 from __future__ import annotations
 
@@ -916,10 +917,12 @@ def decode_band_device(
                 if img is not None:
                     out.data = np.asarray(img)
                     return out
-            if (head.try_huffman_flt() and flag == 3
-                    and head.num_valid_pixel == h * w):
+            if head.try_huffman_flt() and flag == 3:
                 # encoder sidecar when present; foreign blobs rebuild the
-                # per-plane offsets via the native lengths-only scan
+                # per-plane offsets via the native lengths-only scan. fpl is
+                # mask-oblivious (the reference passes the full raster,
+                # Lerc2.cpp:305-311): all pixels ride the wire, so masked
+                # blobs take the identical pipeline
                 fpl_sb = index.get("fpl_sbits") if index is not None else None
                 img = _decode_fpl_band_device(src, pos, head, fpl_sb)
                 if img is not None:

@@ -773,3 +773,26 @@ def test_device_fpl_foreign_blob_decode(dtype):
     res = decode_band_device(np.frombuffer(blob, np.uint8))
     assert res is not None, "foreign fpl blob fell back to host"
     np.testing.assert_array_equal(np.asarray(res.data)[:, :, 0], f)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_device_fpl_masked_foreign_decode(dtype):
+    """Masked fpl blobs decode on device: fpl is mask-oblivious (the
+    reference hands it the full raster, Lerc2.cpp:305-311), so the same
+    pipeline serves masked wires; valid pixels bit-exact vs the reference
+    and the decoded mask matches."""
+    rng = np.random.default_rng(230)
+    h, w = 120, 104
+    x, y = np.meshgrid(np.linspace(0, 4, w), np.linspace(0, 3, h))
+    f = (900 * np.exp(-((x - 2) ** 2 + (y - 1.5) ** 2))).astype(dtype)
+    mask = np.ones((h, w), np.uint8)
+    mask[rng.random((h, w)) > 0.98] = 0
+    blob = oracle.encode(f * mask, 1, w, h, 1, mask, 0.0)
+    res = decode_band_device(np.frombuffer(blob, np.uint8))
+    if res is None:
+        pytest.skip("reference did not choose fpl for this raster")
+    m = mask.astype(bool)
+    ref = oracle.decode(blob)[0].reshape(h, w)
+    dev = np.asarray(res.data)[:, :, 0]
+    np.testing.assert_array_equal(dev[m], ref[m])
+    np.testing.assert_array_equal(res.mask, m)
