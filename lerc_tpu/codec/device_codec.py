@@ -940,12 +940,13 @@ def decode_band_device(
     j0s = ((np.arange(n_blocks, dtype=np.int32) % nbh) * 8).astype(np.int32)
     stream_np = np.frombuffer(src[pos : head.blob_size], dtype=np.uint8)
     recs, used = native.tile_scan(stream_np, cnts, j0s, n_blocks, d, int(head.dt), head.version)
-    if (recs["mode"] >= 8).any():
-        return None  # depth-diff records -> host path
-    has_lut = bool((recs["mode"] == 4).any())
+    has_diff = bool((recs["mode"] >= 8).any())
+    has_lut = bool((recs["mode"] % 8 == 4).any())
 
     zmax_src = out.z_max_vec if out.z_max_vec is not None else np.full(d, head.z_max)
     if head.dt == DataType.DOUBLE:
+        if has_diff:
+            return None  # f64 depth-diff needs softfloat adds: host path
         img = _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
                                        has_lut, h, w, d)
         if img is None:

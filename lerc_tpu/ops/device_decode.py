@@ -529,7 +529,11 @@ def decode_tiles(
             jnp.where(m8 == 2, 0.0, jnp.where(m8 == 3, off2, z_stuff)),
         )
         write = jnp.where((m8 == 3) | (m8 == 0), vb_r & in_img_r, eff_valid)
-        out_vals = jnp.where(write, z, 0.0).astype(np_out)
+        # depth-diff delta before adding the previous slice (mode >= 8):
+        # stuff/const-offset contribute offset(+q*invScale), const-2 copies
+        a_diff = jnp.where(m8 == 2, 0.0, jnp.where(m8 == 3, off2,
+                                                   off2 + qv.astype(jnp.float32) * inv_scale))
+        out_vals, zmax_rr = jnp.where(write, z, 0.0), zmax_r
     else:
         # exact integer arithmetic (invScale and offsets are integral for ints)
         nbytes = np.dtype(np_out).itemsize
@@ -552,7 +556,36 @@ def decode_tiles(
             jnp.where(m8 == 2, 0, jnp.where(m8 == 3, off_i, z_stuff)),
         )
         write = jnp.where((m8 == 3) | (m8 == 0), vb_r & in_img_r, eff_valid)
-        out_vals = jnp.where(write, z, 0).astype(np_out)
+        a_diff = jnp.where(m8 == 2, 0, jnp.where(m8 == 3, off_i,
+                                                 off_i + qv.astype(jnp.int32) * inv_i))
+        out_vals, zmax_rr = jnp.where(write, z, 0), zmax_i
+
+    # ---- depth-diff records (v5+, mode bit 3): slice d = f(slice d-1).
+    # Sequential in depth by construction (Lerc2.cpp:2026-2230 ReadTile's
+    # bDiff branches), so a lax.scan over the (tiny) depth axis resolves
+    # the chain; everything per-slice stays vectorized over records.
+    if d > 1:
+        is_diff = (mode >= 8)[:, None]
+        sh = (n_blocks, d, BS)
+        xs = (
+            out_vals.reshape(sh).transpose(1, 0, 2),
+            a_diff.reshape(sh).transpose(1, 0, 2),
+            is_diff.reshape(n_blocks, d, 1).transpose(1, 0, 2),
+            (m8 == 2).reshape(n_blocks, d, 1).transpose(1, 0, 2),
+            write.reshape(sh).transpose(1, 0, 2),
+            zmax_rr.reshape(n_blocks, d, 1).transpose(1, 0, 2),
+        )
+
+        def step(prev, x):
+            z_nd, a_d, dif, is_c2, wr, zm = x
+            z_df = jnp.where(is_c2, prev, jnp.minimum(a_d + prev, zm))
+            out = jnp.where(dif, jnp.where(wr, z_df, 0), z_nd)
+            return out, out
+
+        zero = jnp.zeros((n_blocks, BS), out_vals.dtype)
+        _, slices = jax.lax.scan(step, zero, xs)
+        out_vals = slices.transpose(1, 0, 2).reshape(n_rec, BS)
+    out_vals = out_vals.astype(np_out)
 
     # ---- scatter back: records [nB*d, 64] -> [H, W, D]
     blocks = out_vals.reshape(n_blocks, d, BS).transpose(0, 2, 1)  # [nB, 64, D]
