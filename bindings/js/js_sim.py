@@ -1237,3 +1237,53 @@ def decode(u8, options=None):
                        for m in band_masks] if masks_differ else None),
         "dimCount": D, "depthCount": D,
     }
+
+
+def get_blob_info(u8):
+    """Sim of lerc.js getBlobInfo: per-band statistics from the
+    header/ranges sections alone (no pixel decode)."""
+    u8 = np.frombuffer(bytes(u8), np.uint8)
+    if key_at(u8, 0, FILE_KEY_LERC1):
+        r = lerc1_decode(u8)
+        b = r["bands"][0]
+        valid = 0
+        mn, mx = float("inf"), float("-inf")
+        for i in range(r["W"] * r["H"]):
+            if b["cnt"][i] > 0:
+                valid += 1
+                z = float(b["z"][i])
+                mn = min(mn, z)
+                mx = max(mx, z)
+        return {"version": 0, "width": r["W"], "height": r["H"],
+                "bandCount": len(r["bands"]), "validPixelCount": valid,
+                "minValue": mn, "maxValue": mx, "statistics": []}
+    walk = walk_bands(u8)
+    h = walk["first"]
+    statistics = []
+    view2 = DV(u8)
+    for off in walk["offsets"]:
+        bh = read_header(u8[off:])
+        p = off + bh["headerSize"]
+        nbm = view2.getInt32(p)
+        p += 4 + max(nbm, 0)
+        if bh["numValidPixel"] == 0:
+            statistics.append({"minValue": 0, "maxValue": 0})
+        elif bh["version"] < 4 or bh["zMin"] == bh["zMax"] or bh["nDepth"] == 1:
+            statistics.append({"minValue": bh["zMin"], "maxValue": bh["zMax"]})
+        else:
+            mins, maxs = [], []
+            for _ in range(bh["nDepth"]):
+                v, n = read_variable_value(view2, p, bh["dt"])
+                mins.append(v)
+                p += n
+            for _ in range(bh["nDepth"]):
+                v, n = read_variable_value(view2, p, bh["dt"])
+                maxs.append(v)
+                p += n
+            statistics.append({"minValue": min(mins), "maxValue": max(maxs),
+                               "depthStats": {"minValues": mins, "maxValues": maxs}})
+    return {"version": h["version"], "width": h["nCols"], "height": h["nRows"],
+            "bandCount": len(walk["offsets"]),
+            "validPixelCount": h["numValidPixel"],
+            "minValue": walk["zMin"], "maxValue": walk["zMax"],
+            "statistics": statistics}

@@ -1094,13 +1094,43 @@
     }
     const walk = walkBands(u8);
     const h = walk.first;
+    // per-band statistics from the header/ranges sections alone, the
+    // lerc_getDataRanges analog (Lerc.ts:278-333; no pixel decode)
+    const statistics = [];
+    for (const off of walk.offsets) {
+      const bh = readHeader(u8.subarray(off));
+      const view2 = dv(u8);
+      let p = off + bh.headerSize;
+      const nbm = view2.getInt32(p, true);
+      p += 4 + Math.max(nbm, 0);
+      if (bh.numValidPixel === 0) {
+        statistics.push({ minValue: 0, maxValue: 0 });
+      } else if (bh.version < 4 || bh.zMin === bh.zMax || bh.nDepth === 1) {
+        statistics.push({ minValue: bh.zMin, maxValue: bh.zMax });
+      } else {
+        const mins = [], maxs = [];
+        for (let d = 0; d < bh.nDepth; d++) {
+          const r = readVariableValue(view2, p, bh.dt);
+          mins.push(r.v); p += r.n;
+        }
+        for (let d = 0; d < bh.nDepth; d++) {
+          const r = readVariableValue(view2, p, bh.dt);
+          maxs.push(r.v); p += r.n;
+        }
+        statistics.push({
+          minValue: Math.min.apply(null, mins),
+          maxValue: Math.max.apply(null, maxs),
+          depthStats: { minValues: new Float64Array(mins), maxValues: new Float64Array(maxs) },
+        });
+      }
+    }
     return {
       version: h.version, depthCount: h.nDepth, dimCount: h.nDepth,
       width: h.nCols, height: h.nRows, validPixelCount: h.numValidPixel,
       bandCount: walk.offsets.length, blobSize: walk.blobSize,
       maskCount: walk.nMasks, dataType: h.dt,
       minValue: walk.zMin, maxValue: walk.zMax, maxZerror: walk.maxZError,
-      statistics: [], bandCountWithNoData: walk.nUsesNoData,
+      statistics, bandCountWithNoData: walk.nUsesNoData,
     };
   }
 

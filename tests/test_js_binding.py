@@ -173,3 +173,23 @@ def test_js_nodata_fill_option():
     px = np.asarray(got["pixels"][0]).reshape(H, W)
     m = MASK.astype(bool)
     assert np.all(px[~m] == np.float32(-1.5))
+
+
+def test_js_get_blob_info_statistics():
+    """getBlobInfo's per-band statistics come from the ranges sections
+    (the lerc_getDataRanges analog), cross-checked against the reference's
+    lerc_getDataRanges on a 3-band, depth-3 blob."""
+    f32 = DEM.astype(np.float32)
+    f3 = np.ascontiguousarray(np.stack([f32, f32 * 0.5 + 3, f32 * -0.25], -1))
+    b3 = np.ascontiguousarray(np.stack([f3, f3 * 2 + 5, f3 * -1], 0))
+    blob = oracle.encode(b3, 3, W, H, 3, None, 0.01)
+    info = js_sim.get_blob_info(blob)
+    mins, maxs = oracle.data_ranges(blob, 3, 3)
+    mins = mins.reshape(3, 3)
+    maxs = maxs.reshape(3, 3)
+    assert info["bandCount"] == 3
+    for b in range(3):
+        st = info["statistics"][b]
+        np.testing.assert_allclose(st["depthStats"]["minValues"], mins[b], rtol=0)
+        np.testing.assert_allclose(st["depthStats"]["maxValues"], maxs[b], rtol=0)
+        assert st["minValue"] == mins[b].min() and st["maxValue"] == maxs[b].max()
