@@ -220,8 +220,33 @@ def bench_reference(tiles, rounds=4):
     return min(enc_t) * scale, min(dec_t) * scale
 
 
+def _require_backend(timeout_s: float = 180.0):
+    """Fail FAST and diagnosably when the accelerator tunnel is dead:
+    jax backend init has no timeout of its own, and a silent hang here is
+    exactly the shape of the round-2 rc-124 artifact. On timeout, print a
+    JSON line with an explicit error field (value 0 is not a measurement)
+    and exit nonzero."""
+    import threading
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(json.dumps({
+            "metric": "encode+decode MB/s/chip",
+            "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0,
+            "error": f"backend init did not complete in {timeout_s:.0f}s "
+                     "(accelerator tunnel down?) -- no measurement taken",
+        }), flush=True)
+        log("FATAL: backend init timed out; tunnel down?")
+        os._exit(7)
+    log(f"backend ready: {devs[0]}")
+
+
 def main():
     total_mb = TILE * TILE * N_TILES * 4 / 1e6
+    _require_backend()
     tiles = make_tiles()
     np.asarray(tiles[0, 0, 0, 0])
     log("tiles ready")
