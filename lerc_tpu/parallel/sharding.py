@@ -482,7 +482,7 @@ def _tile_band_layouts(views, n_bands):
     return layouts
 
 
-def _decode_tiles_device_batched(info, views, layouts, wanted):
+def _decode_tiles_device_batched(info, views, layouts, wanted, mesh=None):
     """Decode the `wanted` mosaic tiles on device, BATCHED: every
     (tile, band) unit flattens into one record axis per micro-block group
     so a 256-tile mosaic issues O(1) dispatches instead of a Python loop
@@ -593,24 +593,42 @@ def _decode_tiles_device_batched(info, views, layouts, wanted):
         # self-consistent) and their outputs are dropped
         n_real = len(group)
         n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if mesh is not None:
+            # sharded decode: whole units per device shard, so the padded
+            # count must be a multiple of the mesh size
+            n_pad = -(-n_pad // mesh.size) * mesh.size
         starts_abs += [starts_abs[n_real - 1]] * (n_pad - n_real)
         zmaxs += [zmaxs[-1]] * (n_pad - n_real)
         gmasks += [gmasks[-1]] * (n_pad - n_real)
         big = np.concatenate(parts)
-        stream_dev = jnp.asarray(big.view(np.uint32))
-        sa = jnp.asarray(np.concatenate(starts_abs).astype(np.int32))
+        stream_np32 = big.view(np.uint32)
+        sa_np = np.concatenate(starts_abs).astype(np.int32)
         hd = layouts[group[0][0]][group[0][1]][1]
         if dt_is_int(hd.dt):
-            zmax_arg = jnp.asarray(np.round(np.stack(zmaxs)).astype(np.int32))
+            zmax_np = np.round(np.stack(zmaxs)).astype(np.int32)
         else:
-            zmax_arg = jnp.asarray(np.stack(zmaxs).astype(np.float32))
+            zmax_np = np.stack(zmaxs).astype(np.float32)
         any_masked = any(m is not None for m in gmasks)
-        if any_masked:
-            mask_arg = jnp.asarray(np.stack([
-                np.ones((tile_h, tile_w), bool) if m is None else m
-                for m in gmasks]))
+        mask_np = (np.stack([np.ones((tile_h, tile_w), bool) if m is None else m
+                             for m in gmasks]) if any_masked else None)
+        if mesh is not None and mesh.size > 1:
+            # GSPMD-sharded decode over the unit axis: the stream is
+            # replicated (records address it absolutely), every per-unit
+            # array shards along "tiles" at whole-unit boundaries (n_pad is
+            # a mesh-size multiple), so each device decodes its tile slice
+            # and XLA keeps the heavy gather/extract work fully local
+            repl = NamedSharding(mesh, P())
+            by_unit = NamedSharding(mesh, P("tiles"))
+            stream_dev = jax.device_put(stream_np32, repl)
+            sa = jax.device_put(sa_np, by_unit)  # flat, unit-major
+            zmax_arg = jax.device_put(zmax_np, by_unit)
+            mask_arg = (jax.device_put(mask_np, by_unit)
+                        if mask_np is not None else None)
         else:
-            mask_arg = None
+            stream_dev = jnp.asarray(stream_np32)
+            sa = jnp.asarray(sa_np)
+            zmax_arg = jnp.asarray(zmax_np)
+            mask_arg = jnp.asarray(mask_np) if mask_np is not None else None
         imgs, idx_ok, _fits = device_decode.decode_tiles_fast(
             stream_dev, sa, jnp.float32(hd.max_z_error), zmax_arg,
             tile_h, tile_w, d, hd.dt, hd.version,
@@ -671,7 +689,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
         return decode_mosaic(buf)
     layouts = _tile_band_layouts(views, n_bands)
     decoded = _decode_tiles_device_batched(info, views, layouts,
-                                           list(range(ty * tx)))
+                                           list(range(ty * tx)), mesh=mesh)
 
     hd0 = layouts[0][0][1]
     d = hd0.n_depth
