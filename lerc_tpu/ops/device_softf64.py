@@ -277,10 +277,15 @@ def add_f64(ah, al, bh, bl):
     out_h = (sx << jnp.uint32(31)) | (e_res.astype(_U32) << jnp.uint32(20)) | (m53h_r & jnp.uint32(0xFFFFF))
     out_l = m53l_r
     # exact-cancellation zero: +0 (RNE default); both-zero inputs: +0 when
-    # signs differ, the common sign otherwise
-    zero_sign = jnp.where(a_zero & b_zero & (sa == sb), sa, _ZERO)
-    out_h = jnp.where(is_zero, zero_sign << jnp.uint32(31), out_h)
-    out_l = jnp.where(is_zero, _ZERO, out_l)
+    # signs differ, the common sign otherwise. The both-zero case never
+    # reaches is_zero (the implicit mantissa bit is set unconditionally
+    # above, so 0+0 added to a nonzero working mantissa and emitted the
+    # min-normal 0x0010..0 -- caught by the randomized differential soak)
+    both_zero = a_zero & b_zero
+    zero_sign = jnp.where(both_zero & (sa == sb), sa, _ZERO)
+    zero_out = is_zero | both_zero
+    out_h = jnp.where(zero_out, zero_sign << jnp.uint32(31), out_h)
+    out_l = jnp.where(zero_out, _ZERO, out_l)
     # identity cases
     out_h = jnp.where(a_zero & ~b_zero, bh, jnp.where(b_zero & ~a_zero, ah, out_h))
     out_l = jnp.where(a_zero & ~b_zero, bl, jnp.where(b_zero & ~a_zero, al, out_l))

@@ -154,3 +154,27 @@ def test_f64_extreme_invscale_falls_back():
     from lerc_tpu.codec.orchestrator import decode_blob
     out = decode_blob(blob)  # host path must still decode within tolerance
     assert np.abs(out.data[0, :, :, 0] - tiny).max() <= 2e-310 * 1.01
+
+
+def test_add_both_zero_inputs():
+    """0+0 regression (randomized differential soak): the implicit
+    mantissa bit made add_f64(+-0, +-0) emit the min-normal 0x0010..0
+    instead of zero. IEEE: +0 when signs differ, the common sign else."""
+    import jax.numpy as jnp
+    from lerc_tpu.ops import device_softf64 as sf
+
+    def pair(x):
+        lo, hi = np.frombuffer(np.float64(x).tobytes(), np.uint32)
+        return jnp.asarray([np.uint32(hi)]), jnp.asarray([np.uint32(lo)])
+
+    def val(h, l):
+        return np.frombuffer(
+            np.array([int(l[0]), int(h[0])], np.uint32).tobytes(), np.float64)[0]
+
+    for a, b in [(0.0, 0.0), (-0.0, 0.0), (0.0, -0.0), (-0.0, -0.0)]:
+        ah, al = pair(a)
+        bh, bl = pair(b)
+        oh, ol, ok = sf.add_f64(ah, al, bh, bl)
+        exp = np.float64(a) + np.float64(b)
+        assert bool(ok[0])
+        assert np.float64(val(oh, ol)).view(np.uint64) == exp.view(np.uint64), (a, b)
