@@ -683,7 +683,10 @@ def _decode_huffman_band_device(src, pos, head, mode, sbits, mask=None):
             sb_dec = sbits[:g_eff]
         else:
             n_eff = n
-            live = jnp.asarray((np.arange(d * npx) % npx) < nv)
+            # pad to the 64-symbol group grid (pad slots dead), matching
+            # the scan's layout -- d*npx is rarely a GROUP multiple
+            p = np.arange(-(-n // G) * G)
+            live = jnp.asarray(((p % npx) < nv) & (p < n))
             sb_dec = sbits
     else:
         # direct symbols: one compacted run, depth inner

@@ -694,7 +694,7 @@ def test_device_huffman_foreign_blob_decode(d, masked):
     the reference for plain/masked x depth-1/3 layouts.
     Ref: Huffman.h:144-214 (serial canonical decode this parallelizes)."""
     rng = np.random.default_rng(1000 + d + 2 * masked)
-    h, w = 120, 104
+    h, w = 149, 93  # h*w*d not a 64-multiple: the live grid must pad
     img = (np.cumsum(rng.integers(-2, 3, size=h * w * d)).astype(np.int64)
            % 200).astype(np.uint8).reshape(h, w, d)
     mask = None
