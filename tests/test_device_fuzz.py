@@ -130,3 +130,21 @@ def test_device_decode_hardened_against_corruption(kind):
         out = decode_band_device(bad)
         if out is None:  # device routing declined: host must reject too
             decode_blob(bad)
+
+
+def test_differential_soak_short():
+    """A bounded slice of tools/soak_differential.py (the randomized
+    device-vs-reference harness that caught the softfloat 0+0 and masked
+    depth-Huffman group-padding bugs): ~60 s of random configs."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [sys.executable, str(root / "tools" / "soak_differential.py"), "7", "60"],
+        capture_output=True, text=True, timeout=600, cwd=root,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
+    assert "soak clean" in out.stdout
