@@ -478,8 +478,8 @@ namespace LercTpu
                         for (int j = 0; j < W; j++)
                         {
                             long v;
-                            if (j == 0 && i > 0) v = ((long)Data8(data, ((i - 1) * W) * D + d, signed) + syms[d * H * W + i * W]) & 255;
-                            else v = (prev + syms[d * H * W + i * W + j]) & 255;
+                            if (j == 0 && i > 0) v = ((long)Data8(data, ((i - 1) * W) * D + d, signed) + syms[d * H * W + i * W] - off) & 255;
+                            else v = (prev + syms[d * H * W + i * W + j] - off) & 255;
                             long s = v & 255;
                             data[(i * W + j) * D + d] = signed && s >= 128 ? s - 256 : s;
                             prev = v & 255;
@@ -498,7 +498,7 @@ namespace LercTpu
                             long baseV;
                             if (!leftOk && aboveOk) baseV = (long)Data8(data, ((i - 1) * W + j) * D + d, signed);
                             else baseV = prev;
-                            long v = (baseV + syms[t++]) & 255;
+                            long v = (baseV + syms[t++] - off) & 255;
                             long s = v & 255;
                             data[(i * W + j) * D + d] = signed && s >= 128 ? s - 256 : s;
                             prev = v;

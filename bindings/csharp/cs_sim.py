@@ -490,9 +490,9 @@ def decode_huffman_image(u8, pos, h, mode, mask, data):
                 for j in range(W):
                     if j == 0 and i > 0:
                         v = (int(data8(data, ((i - 1) * W) * D + d, signed))
-                             + syms[d * H * W + i * W]) & 255
+                             + syms[d * H * W + i * W] - off) & 255
                     else:
-                        v = (prev + syms[d * H * W + i * W + j]) & 255
+                        v = (prev + syms[d * H * W + i * W + j] - off) & 255
                     s = v & 255
                     data[(i * W + j) * D + d] = float(s - 256 if signed and s >= 128 else s)
                     prev = v & 255
@@ -507,7 +507,7 @@ def decode_huffman_image(u8, pos, h, mode, mask, data):
                         base_v = int(data8(data, ((i - 1) * W + j) * D + d, signed))
                     else:
                         base_v = prev
-                    v = (base_v + syms[t]) & 255
+                    v = (base_v + syms[t] - off) & 255
                     t += 1
                     s = v & 255
                     data[(i * W + j) * D + d] = float(s - 256 if signed and s >= 128 else s)

@@ -468,9 +468,9 @@ def decode_huffman_image(u8, pos, h, mode, mask, data):
                 for j in range(W):
                     if j == 0 and i > 0:
                         v = (data8(data, (i - 1) * W * D + d, signed)
-                             + int(syms[d * H * W + i * W])) & 255
+                             + int(syms[d * H * W + i * W]) - off) & 255
                     else:
-                        v = (prev + int(syms[d * H * W + i * W + j])) & 255
+                        v = (prev + int(syms[d * H * W + i * W + j]) - off) & 255
                     store(data, (i * W + j) * D + d,
                           shr_s(shl(v & 255, 24), 24) if signed else v & 255)
                     prev = v & 255
@@ -485,7 +485,7 @@ def decode_huffman_image(u8, pos, h, mode, mask, data):
                         base = data8(data, ((i - 1) * W + j) * D + d, signed)
                     else:
                         base = prev
-                    v = (base + int(syms[t])) & 255
+                    v = (base + int(syms[t]) - off) & 255
                     t += 1
                     store(data, (i * W + j) * D + d,
                           shr_s(shl(v & 255, 24), 24) if signed else v & 255)

@@ -358,8 +358,8 @@
         for (let i = 0; i < H; i++) {
           for (let j = 0; j < W; j++) {
             let v;
-            if (j === 0 && i > 0) v = (data8(data, (i - 1) * W * D + d, signed) + syms[d * H * W + i * W]) & 255;
-            else v = (prev + syms[d * H * W + i * W + j]) & 255;
+            if (j === 0 && i > 0) v = (data8(data, (i - 1) * W * D + d, signed) + syms[d * H * W + i * W] - off) & 255;
+            else v = (prev + syms[d * H * W + i * W + j] - off) & 255;
             data[(i * W + j) * D + d] = signed ? ((v & 255) << 24) >> 24 : v & 255;
             prev = v & 255;
           }
@@ -375,7 +375,7 @@
             let base;
             if (!leftOk && aboveOk) base = data8(data, ((i - 1) * W + j) * D + d, signed);
             else base = prev;
-            const v = (base + syms[t++]) & 255;
+            const v = (base + syms[t++] - off) & 255;
             data[(i * W + j) * D + d] = signed ? ((v & 255) << 24) >> 24 : v & 255;
             prev = v;
           }

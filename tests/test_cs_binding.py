@@ -236,3 +236,21 @@ def test_cs_error_codes():
         assert cs_sim.lerc_decode(bad, len(bad), 1, masks, info["nDepth"],
                                   info["nCols"], info["nRows"], 1, 6, data) == cs_sim.FAILED
     assert cs_sim.lerc_getBlobInfo(b"", 0, np.zeros(11, np.int64), None, 11, 0) == cs_sim.WRONG_PARAM
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_cs_huffman_delta_s8(masked):
+    """int8 DELTA mode exercises the (val - 128) offset inside the chain
+    (Lerc2.cpp:2500 `delta = (T)(val - offset)`); caught by the bindings
+    soak -- the fixed matrix only ran delta with uint8 (offset 0)."""
+    smooth = ((np.cumsum(RNG.integers(-2, 3, size=H * W)) % 200) - 100
+              ).astype(np.int8).reshape(H, W)
+    m = MASK if masked else None
+    check(oracle.encode(smooth * MASK.astype(np.int8) if masked else smooth,
+                        1, W, H, 1, m, 0.0))
+
+
+def test_cs_huffman_delta_s8_depth3():
+    d3 = (((np.cumsum(RNG.integers(-1, 2, (H, W, 3)), axis=1)) % 150) - 75
+          ).astype(np.int8)
+    check(oracle.encode(d3, 3, W, H, 1, None, 0.0))

@@ -193,3 +193,37 @@ def test_js_get_blob_info_statistics():
         np.testing.assert_allclose(st["depthStats"]["minValues"], mins[b], rtol=0)
         np.testing.assert_allclose(st["depthStats"]["maxValues"], maxs[b], rtol=0)
         assert st["minValue"] == mins[b].min() and st["maxValue"] == maxs[b].max()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_js_huffman_delta_s8(masked):
+    """int8 DELTA mode exercises the (val - 128) offset inside the chain
+    (Lerc2.cpp:2500 `delta = (T)(val - offset)`); caught by the bindings
+    soak -- the fixed matrix only ran delta with uint8 (offset 0)."""
+    smooth = ((np.cumsum(RNG.integers(-2, 3, size=H * W)) % 200) - 100
+              ).astype(np.int8).reshape(H, W)
+    m = MASK if masked else None
+    check(oracle.encode(smooth * MASK.astype(np.int8) if masked else smooth,
+                        1, W, H, 1, m, 0.0))
+
+
+def test_js_huffman_delta_s8_depth3():
+    d3 = (((np.cumsum(RNG.integers(-1, 2, (H, W, 3)), axis=1)) % 150) - 75
+          ).astype(np.int8)
+    check(oracle.encode(d3, 3, W, H, 1, None, 0.0))
+
+
+def test_bindings_soak_short():
+    """A bounded slice of tools/soak_bindings.py (the randomized binding
+    differential soak that caught the s8 delta-offset bug); deeper runs
+    are manual with a larger seconds budget."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        [_sys.executable, str(root / "tools" / "soak_bindings.py"), "11", "40"],
+        capture_output=True, text=True, timeout=300, cwd=root)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "soak PASS" in out.stdout
