@@ -100,7 +100,9 @@ class DV:
         return self._get("<b", p)
 
     def getUint8(self, p):
-        return self.u8[p]
+        # DataView.getUint8 throws RangeError out of bounds; lerc.js
+        # converts that to the Lerc error contract at the API boundary
+        return self._get("<B", p)
 
     def getInt16(self, p):
         return self._get("<h", p)

@@ -1138,10 +1138,19 @@
     return getBlobInfo(input, options).bandCount;
   }
 
+  // truncated input makes DataView reads throw RangeError; convert to the
+  // "Lerc: ..." error contract at the API boundary
+  function guarded(fn) {
+    return function (input, options) {
+      try { return fn(input, options); }
+      catch (e) { if (e instanceof RangeError) err("truncated blob (read out of bounds)"); throw e; }
+    };
+  }
+
   return {
-    decode,
-    getBlobInfo,
-    getBandCount,
+    decode: guarded(decode),
+    getBlobInfo: guarded(getBlobInfo),
+    getBandCount: guarded(getBandCount),
     load: function () { return Promise.resolve(); }, // API compat: no WASM
     isLoaded: function () { return true; },
   };

@@ -193,3 +193,59 @@ def test_native_scan_differential_fuzz():
             np.testing.assert_array_equal(  # unspecified on both paths
                 np.asarray(dev.data)[m], host.data[0][m],
                 err_msg="device and host decoded the same bytes differently")
+
+
+def test_bindings_hostile_mutations():
+    """The JS/C# binding decoders (via their executable sims) must fail
+    gracefully on checksum-refixed mutations: LercError / nonzero rc, or
+    a clean decode -- never IndexError/struct.error/KeyError (which would
+    be an unchecked read in the real JS/C#)."""
+    import pathlib
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    _sys.path.insert(0, str(root / "bindings" / "js"))
+    _sys.path.insert(0, str(root / "bindings" / "csharp"))
+    import cs_sim
+    import js_sim
+
+    rng = np.random.default_rng(3)
+    blobs = [b for b in _seed_blobs() if len(b) < 30000]  # small: sims are slow
+    for blob in blobs:
+        from tests import oracle
+        try:
+            info = oracle.blob_info(blob)
+        except RuntimeError:
+            continue
+        args = (info["nDepth"], info["nCols"], info["nRows"], info["nBands"],
+                info["dataType"])
+        n = args[0] * args[1] * args[2] * args[3]
+        for trial in range(12):
+            buf = bytearray(blob)
+            for _ in range(int(rng.integers(1, 4))):
+                buf[int(rng.integers(0, len(buf)))] ^= int(rng.integers(1, 256))
+            if not _refix_checksum(buf):
+                continue
+            mutated = bytes(buf)
+            try:
+                js_sim.decode(mutated)
+            except js_sim.LercError:
+                pass  # graceful
+            data = np.zeros(n, [np.int8, np.uint8, np.int16, np.uint16,
+                                np.int32, np.uint32, np.float32,
+                                np.float64][args[4]])
+            pv = np.zeros(args[1] * args[2] * max(info["nMasks"], 1), np.uint8)
+            rc = cs_sim.lerc_decode(mutated, len(mutated), info["nMasks"],
+                                    pv if info["nMasks"] else None,
+                                    *args, data)
+            assert rc in (0, 1, 2, 3, 5), rc
+        # truncations
+        for cut in (10, len(blob) // 3, len(blob) - 3):
+            t = blob[:cut]
+            try:
+                js_sim.decode(t)
+            except js_sim.LercError:
+                pass
+            data = np.zeros(n, np.float64)
+            rc = cs_sim.lerc_decodeToDouble(t, len(t), 0, None, *args[:4], data)
+            assert rc in (0, 1, 2, 3, 5), rc
