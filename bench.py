@@ -220,18 +220,28 @@ def bench_reference(tiles, rounds=4):
     return min(enc_t) * scale, min(dec_t) * scale
 
 
-def _require_backend(timeout_s: float = 180.0):
-    """Fail FAST and diagnosably when the accelerator tunnel is dead:
-    jax backend init has no timeout of its own, and a silent hang here is
-    exactly the shape of the round-2 rc-124 artifact. On timeout, print a
-    JSON line with an explicit error field (value 0 is not a measurement)
-    and exit nonzero."""
+def _require_backend(timeout_s: float | None = None):
+    """Fail diagnosably when the accelerator tunnel is dead: jax backend
+    init has no timeout of its own, and a silent hang here is exactly the
+    shape of the round-2 rc-124 artifact. The init runs in a daemon
+    thread, joined in 30 s slices (a transient tunnel blip recovers
+    instead of recording a zero); after LERC_BENCH_BACKEND_WAIT seconds
+    (default 300) print a JSON line with an explicit error field (value 0
+    is not a measurement) and exit nonzero."""
     import threading
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("LERC_BENCH_BACKEND_WAIT", "300"))
     devs = []
     t = threading.Thread(target=lambda: devs.append(jax.devices()), daemon=True)
     t.start()
-    t.join(timeout_s)
+    waited = 0.0
+    while not devs and waited < timeout_s:
+        step = min(30.0, timeout_s - waited)
+        t.join(step)
+        waited += step
+        if not devs:
+            log(f"waiting for backend init ({waited:.0f}s)...")
     if not devs:
         print(json.dumps({
             "metric": "encode+decode MB/s/chip",
