@@ -90,6 +90,13 @@ def main():
     noisy8 = rng.choice(np.arange(-5, 6, dtype=np.int8), size=(h, w),
                         p=np.r_[np.full(5, 0.02), 0.8, np.full(5, 0.02)])
     add("huffman-direct-s8", oracle.encode(noisy8, 1, w, h, 1, None, 0.0))
+    # int8 DELTA mode: the chain subtracts the 128 offset per step
+    # (Lerc2.cpp delta = (T)(val - offset)); regression for the soak find
+    smooth_s8 = ((np.cumsum(rng.integers(-2, 3, size=h * w)) % 200) - 100
+                 ).astype(np.int8).reshape(h, w)
+    add("huffman-delta-s8", oracle.encode(smooth_s8, 1, w, h, 1, None, 0.0))
+    add("huffman-delta-s8-masked",
+        oracle.encode(smooth_s8 * mask.astype(np.int8), 1, w, h, 1, mask, 0.0))
     d3 = (np.cumsum(rng.integers(-1, 2, (h, w, 3)), axis=1) % 150).astype(np.uint8)
     add("huffman-u8-depth3", oracle.encode(d3, 3, w, h, 1, None, 0.0))
     add("huffman-u8-depth3-masked",
