@@ -74,7 +74,22 @@ def make_case(rng):
         version = -1  # depth>1 needs v>=4
     if mask is not None:
         arr = arr * mask[:, :, :, None].astype(arr.dtype)
-    return arr, d, nb, mask, mze, version
+    uses_nd = nd = None
+    if version in (-1, 6) and rng.random() < 0.15:
+        # noData passthrough (v6): poke noData holes into some bands
+        ndv = float(rng.choice([-9999.0, 255.0, -1.0]))
+        if np.issubdtype(arr.dtype, np.integer):
+            ndv = float(np.clip(ndv, np.iinfo(arr.dtype).min,
+                                np.iinfo(arr.dtype).max))
+        uses_nd = rng.integers(0, 2, nb).astype(np.uint8)
+        if uses_nd.sum() == 0:
+            uses_nd[0] = 1
+        nd = np.full(nb, ndv, np.float64)
+        for b in range(nb):
+            if uses_nd[b]:
+                holes = rng.random((arr.shape[1], arr.shape[2])) < 0.05
+                arr[b][holes] = arr.dtype.type(ndv)
+    return arr, d, nb, mask, mze, version, uses_nd, nd
 
 
 def run(seed, seconds):
@@ -82,15 +97,16 @@ def run(seed, seconds):
     t_end = time.time() + seconds
     n = 0
     while time.time() < t_end:
-        arr, d, nb, mask, mze, version = make_case(rng)
+        arr, d, nb, mask, mze, version, uses_nd, nd = make_case(rng)
         h, w = arr.shape[1], arr.shape[2]
         try:
             blob = oracle.encode(arr.reshape(nb, h, w, d), d, w, h, nb,
-                                 mask, mze, version=version)
+                                 mask, mze, version=version,
+                                 uses_nodata=uses_nd, nodata=nd)
         except RuntimeError:
             continue  # config the reference rejects (e.g. lossless f64 v<6)
         info = oracle.blob_info(blob)
-        ref, masks, _, _ = oracle.decode(blob, info)
+        ref, masks, ref_uses_nd, ref_nd = oracle.decode(blob, info)
         n_masks = info["nMasks"]
 
         # --- js_sim
@@ -108,15 +124,23 @@ def run(seed, seconds):
                 open("/tmp/soak_bindings_bad.bin", "wb").write(blob)
                 raise SystemExit(f"JS mismatch seed={seed} case={n} band={b}")
 
-        # --- cs_sim
+        # --- cs_sim (always the 4D call: noData blobs with nDepth>1
+        # require the passthrough arrays, like the reference C API)
         data = np.zeros(nb * h * w * d, DTYPES[info["dataType"]])
         pv = np.zeros(max(n_masks, 1) * h * w, np.uint8)
-        rc = cs_sim.lerc_decode(blob, len(blob), n_masks,
-                                pv if n_masks else None, d, w, h, nb,
-                                info["dataType"], data)
+        cs_uses = np.zeros(nb, np.uint8)
+        cs_nd = np.zeros(nb, np.float64)
+        rc = cs_sim.lerc_decode_4D(blob, len(blob), n_masks,
+                                   pv if n_masks else None, d, w, h, nb,
+                                   info["dataType"], data, cs_uses, cs_nd)
         if rc != 0:
             open("/tmp/soak_bindings_bad.bin", "wb").write(blob)
             raise SystemExit(f"C# decode rc={rc} seed={seed} case={n}")
+        if info["nUsesNoDataValue"] and d > 1:
+            if not (np.array_equal(cs_uses, ref_uses_nd)
+                    and np.array_equal(cs_nd, ref_nd)):
+                open("/tmp/soak_bindings_bad.bin", "wb").write(blob)
+                raise SystemExit(f"C# noData mismatch seed={seed} case={n}")
         got_cs = data.reshape(nb, h, w, d)
         if n_masks > 0:
             if not np.array_equal(pv.reshape(n_masks, h, w), masks):
