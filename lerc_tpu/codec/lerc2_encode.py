@@ -343,15 +343,28 @@ class BandEncoder:
             # never emitted but can hold NaN/inf from masked-out pixels --
             # sanitize them so the int casts stay warning-free
             xq = np.where(vmask_b, xf, zmin[:, None])
-            if int_lossless:
-                quant = (xq - zmin[:, None]).astype(np.int64).astype(np.uint32)
-            elif mze > 0:
-                quant = np.floor((xq - zmin[:, None]) * scale + 0.5).astype(np.int64).astype(np.uint32)
-            else:
-                quant = np.zeros_like(xb, dtype=np.uint32)
+            # blocks with non-finite values are forced raw / const-offset
+            # below and never consume quant, but the vectorized pass still
+            # computes their lanes (inf - inf = NaN): suppress the numpy
+            # warning the serial reference cannot emit
+            with np.errstate(invalid="ignore", over="ignore"):
+                if int_lossless:
+                    quant = (xq - zmin[:, None]).astype(np.int64).astype(np.uint32)
+                elif mze > 0:
+                    quant = np.floor((xq - zmin[:, None]) * scale + 0.5).astype(np.int64).astype(np.uint32)
+                else:
+                    quant = np.zeros_like(xb, dtype=np.uint32)
 
-            max_val = (zmax - zmin) * scale if mze > 0 else np.zeros(n_blocks)
-            max_elem = np.floor(max_val + 0.5).astype(np.int64)
+            # empty blocks carry ±inf stats and inf/NaN data can make
+            # max_val non-finite: clip BEFORE the int cast (the cast of a
+            # non-finite is a numpy RuntimeWarning + garbage); force_raw
+            # below still compares the unclipped value, so inf-valued
+            # blocks keep forcing raw mode
+            with np.errstate(invalid="ignore", over="ignore"):
+                max_val = (zmax - zmin) * scale if mze > 0 else np.zeros(n_blocks)
+                max_elem = np.floor(
+                    np.nan_to_num(max_val, nan=0.0, posinf=1e18, neginf=0.0) + 0.5
+                ).astype(np.int64)
 
             # block classification
             is_empty = cnt == 0
@@ -571,8 +584,14 @@ def try_raise_max_z_error(data, mask, mze: float) -> tuple[bool, float]:
         return False, mze
     vals = data[mask].astype(np.float64).reshape(-1)
     for z_err, z_fac in cands:
-        z = vals * z_fac
-        round_err = float(np.abs(np.floor(z + 0.5) - z).max()) if z.size else 0.0
+        # non-finite values produce NaN deltas, which the reference's
+        # std::max tracking silently skips (NaN comparisons are false,
+        # Lerc2.cpp:1272-1273) -- mirror that instead of propagating
+        with np.errstate(invalid="ignore", over="ignore"):
+            z = vals * z_fac
+            d = np.abs(np.floor(z + 0.5) - z)
+        d = d[~np.isnan(d)]
+        round_err = float(d.max()) if d.size else 0.0
         if round_err / z_fac <= mze / 2:
             return True, z_err
     return False, mze

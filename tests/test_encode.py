@@ -222,3 +222,44 @@ def test_1x1_and_odd_shapes():
     for shape in [(1, 1, 1, 1), (1, 7, 13, 1), (1, 8, 8, 1), (1, 9, 17, 2)]:
         data = make_data(np.float32, *shape)
         check_roundtrip(data, None, 0.001, expect_identical=True)
+
+
+def test_encode_nonfinite_values():
+    """inf pixels are legal float input (only NaN is filtered to the mask,
+    Lerc.cpp:861-897): blocks containing inf force raw / const-offset mode,
+    the encode is numpy-warning-free, inf round-trips through the REFERENCE
+    decoder, and the maxZError auto-raise skips non-finite deltas exactly
+    like the C++ std::max tracking (Lerc2.cpp:1272-1273)."""
+    import warnings
+
+    from lerc_tpu import api
+
+    rng = np.random.default_rng(0)
+    dem = (np.sin(np.linspace(0, 9, 83))[None]
+           * np.cos(np.linspace(0, 7, 67))[:, None] * 500).astype(np.float32)
+    demi = dem.copy()
+    demi[0, 0] = np.inf            # lone inf in a mixed block
+    demi[32:40, 32:40] = np.inf    # a fully-inf micro block
+    mask = rng.random((67, 83)) > 0.3
+    mask[:16, :16] = False         # fully-empty micro blocks
+    mask[0, 0] = True
+    mask[32:40, 32:40] = True
+    data = np.where(mask, demi, np.float32(0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rc, _nb, blob = api.encode(data, 1, True, mask.astype(np.uint8),
+                                   0.01, 2 ** 20)
+    assert rc == 0
+    ref, masks_d, _, _ = oracle.decode(bytes(blob))
+    assert np.array_equal(masks_d[0].astype(bool), mask)
+    fin = mask & np.isfinite(data)
+    assert np.abs(ref[0, :, :, 0][fin] - data[fin]).max() <= 0.01 * 1.01
+    assert ref[0, 0, 0, 0] == np.inf and ref[0, 35, 35, 0] == np.inf
+
+    # auto-raise choice parity with an inf present
+    pre = np.round(dem * 10) / 10
+    pre[3, 3] = np.inf
+    b_ours = api.encode(pre, 1, False, None, 0.001, 2 ** 20)[2]
+    b_ref = oracle.encode(pre.astype(np.float32), 1, 83, 67, 1, None, 0.001)
+    assert (oracle.blob_info(bytes(b_ours))["maxZErrUsed"]
+            == oracle.blob_info(b_ref)["maxZErrUsed"] == 0.05)
