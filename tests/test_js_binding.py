@@ -227,3 +227,57 @@ def test_bindings_soak_short():
         capture_output=True, text=True, timeout=300, cwd=root)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "soak PASS" in out.stdout
+
+
+def test_bindings_decode_our_blobs():
+    """The JS and C# binding decoders must accept blobs produced by OUR
+    device encoder (its wire choices -- Huffman tables, LUT tie-breaks,
+    predictor picks -- differ from the reference's); cross-checked against
+    the reference decoder on the same blobs."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "bindings" / "csharp"))
+    import cs_sim
+
+    from lerc_tpu.codec.device_codec import encode_band_device
+
+    rng = np.random.default_rng(5)
+    x, y = np.meshgrid(np.linspace(0, 5, 56), np.linspace(0, 4, 48))
+    f = (np.sin(x) * np.cos(y) * 100 + rng.normal(0, 1, (48, 56))).astype(np.float32)
+    m = rng.random((48, 56)) > 0.3
+    seg = (np.floor(x * 2) + np.floor(y * 3)).astype(np.float32) * 10
+    u8img = (np.cumsum(rng.integers(-2, 3, (48, 56)), axis=1) % 200).astype(np.uint8)
+    s8img = ((np.cumsum(rng.integers(-2, 3, (48, 56)), axis=1) % 200) - 100
+             ).astype(np.int8)
+    blobs = [
+        encode_band_device(f[:, :, None].copy(), None, 0.01),       # tiling
+        encode_band_device(f[:, :, None].copy(), m, 0.01),          # masked
+        encode_band_device(seg[:, :, None].copy(), None, 0.5),      # LUT-ish
+        encode_band_device(u8img[:, :, None].copy(), None, 0.5),    # huffman
+        encode_band_device((u8img * m)[:, :, None].copy(), m, 0.5), # masked huffman
+        encode_band_device(s8img[:, :, None].copy(), None, 0.5),    # s8 delta
+        encode_band_device(f[:, :, None].copy(), None, 0.0),        # fpl f32
+        encode_band_device(f.astype(np.float64)[:, :, None].copy(), None, 0.0),  # fpl f64
+    ]
+    for i, blob in enumerate(blobs):
+        info = oracle.blob_info(blob)
+        ref, masks, _, _ = oracle.decode(blob, info)
+        n_masks, d = info["nMasks"], info["nDepth"]
+        got = js_sim.decode(blob, {"returnInterleaved": True})
+        data = np.zeros(info["nRows"] * info["nCols"] * d,
+                        [np.int8, np.uint8, np.int16, np.uint16, np.int32,
+                         np.uint32, np.float32, np.float64][info["dataType"]])
+        pv = np.zeros(max(n_masks, 1) * info["nRows"] * info["nCols"], np.uint8)
+        rc = cs_sim.lerc_decode(blob, len(blob), n_masks,
+                                pv if n_masks else None, d, info["nCols"],
+                                info["nRows"], 1, info["dataType"], data)
+        assert rc == 0, (i, rc)
+        exp = np.ascontiguousarray(ref[0]).reshape(-1)
+        gp = np.asarray(got["pixels"][0])
+        gc = data
+        if n_masks:
+            mm = np.repeat(masks[0].reshape(-1).astype(bool), d)
+            np.testing.assert_array_equal(gp[mm], exp[mm], err_msg=f"js blob {i}")
+            np.testing.assert_array_equal(gc[mm], exp[mm], err_msg=f"cs blob {i}")
+        else:
+            np.testing.assert_array_equal(gp, exp, err_msg=f"js blob {i}")
+            np.testing.assert_array_equal(gc, exp, err_msg=f"cs blob {i}")
