@@ -266,12 +266,14 @@ def main():
     log(f"uncapped: enc {total_mb/enc:.0f} MB/s, dec {total_mb/dec:.0f} MB/s")
 
     ref = bench_reference(tiles)
-    masked = bench_masked(tiles, 0)
-    log(f"masked uncapped: {masked} MB/s")
 
     # Phase 2 -- nb_cap=16 static-chain headline upgrade, while the
     # deadline allows (each compile runs to completion once started;
-    # the check sits BETWEEN steps).
+    # the check sits BETWEEN steps). The masked bench runs nb16-first:
+    # only when the upgrade is skipped or fails does the uncapped masked
+    # pass run (it cold-compiles for ~3 min; skipping it on the warm
+    # path keeps the whole run inside the driver budget).
+    masked = None
     elapsed = time.perf_counter() - T0
     if not FAST_ONLY and elapsed < DEADLINE_S - 240:
         log("attempting nb_cap=16 upgrade")
@@ -281,14 +283,15 @@ def main():
                 enc, dec, blob_bytes = up
                 log(f"nb16: enc {total_mb/enc:.0f} MB/s, dec {total_mb/dec:.0f} MB/s")
                 if time.perf_counter() - T0 < DEADLINE_S - 180:
-                    m16 = bench_masked(tiles, 16)
-                    if m16 is not None:
-                        masked = m16
-                        log(f"masked nb16: {masked} MB/s")
+                    masked = bench_masked(tiles, 16)  # falls back when unfit
+                    log(f"masked nb16: {masked} MB/s")
         except Exception as e:  # never lose the banked result
             log(f"nb16 upgrade failed: {e!r}")
     else:
         log(f"skipping nb16 upgrade (elapsed {elapsed:.0f}s, FAST={FAST_ONLY})")
+    if masked is None:  # safety net: masked keys are always emitted
+        masked = bench_masked(tiles, 0)
+        log(f"masked uncapped: {masked} MB/s")
 
     ours_mbs = total_mb / (enc + dec)
     if ref is not None:

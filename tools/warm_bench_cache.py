@@ -1,0 +1,56 @@
+"""Pre-compile every executable bench.py can reach, with NO deadline.
+
+bench.py self-imposes a wall-clock budget (LERC_BENCH_DEADLINE) so a
+driver run always emits JSON; the flip side is that the slow-compiling
+nb_cap=16 static-chain phase is skipped when cold compiles have already
+eaten the headroom. This script takes the compile hit once, outside any
+deadline, so subsequent bench runs hit the persistent .jax_cache and the
+nb16 upgrade completes in seconds. It imports bench itself so the codec
+constructions (shapes, mask, donation) are cache-key-identical.
+
+Run alone -- never concurrently with another TPU process.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("LERC_BENCH_DEADLINE", "1")  # irrelevant: main() not called
+
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402  (configures the compilation cache)
+from lerc_tpu.codec.resident import FusedResidentCodec  # noqa: E402
+
+T0 = time.perf_counter()
+
+
+def log(msg):
+    print(f"[{time.perf_counter()-T0:6.0f}s] {msg}", flush=True)
+
+
+def warm(codec, tile, label):
+    t0 = time.perf_counter()
+    out = codec._encode_fused(tile)
+    fits = bool(np.asarray(out[2])[2]) if codec.nb_cap else True
+    log(f"{label}: encode compiled in {time.perf_counter()-t0:.0f}s (fits={fits})")
+    t0 = time.perf_counter()
+    dec = codec._decode_fused_fast(out[0], out[1], out[3])
+    np.asarray(dec[1])
+    log(f"{label}: decode compiled in {time.perf_counter()-t0:.0f}s")
+
+
+def main():
+    tiles = bench.make_tiles()
+    np.asarray(tiles[0, 0, 0, 0])
+    log("tiles ready")
+    for cap in (0, 16):
+        warm(FusedResidentCodec(bench.TILE, bench.TILE, 1, np.float32,
+                                bench.MAX_Z_ERROR, nb_cap=cap),
+             tiles[0], f"nb_cap={cap}")
+        warm(bench._masked_codec(cap), tiles[0], f"masked nb_cap={cap}")
+    log("cache warm")
+
+
+if __name__ == "__main__":
+    main()
