@@ -41,6 +41,9 @@ def warm(codec, tile, label):
 
 
 def main():
+    # ADVICE r3: a dead tunnel must time out diagnosably, not hang the
+    # warmer silently -- same watchdog bench.py itself uses.
+    bench._require_backend()
     tiles = bench.make_tiles()
     np.asarray(tiles[0, 0, 0, 0])
     log("tiles ready")
