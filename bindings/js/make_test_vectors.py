@@ -7,6 +7,7 @@ Expected pixels/masks come from the reference C++ library, so the JS decoder
 is held to the same oracle as the Python/TPU paths."""
 import base64
 import json
+import os
 import pathlib
 import sys
 
@@ -140,16 +141,23 @@ def main():
     assert rv[0] == 0
     add("ours-huffman-masked", bytes(rv[2]))
 
-    # golden blobs
-    td = pathlib.Path("/root/reference/testData")
+    # golden blobs (reference checkout location overridable for CI)
+    td = pathlib.Path(os.environ.get("LERC_REFERENCE_DIR",
+                                     "/root/reference")) / "testData"
     add("golden-california", (td / "california_400_400_1_float.lerc2").read_bytes())
     add("golden-bluemarble", (td / "bluemarble_256_256_3_byte.lerc2").read_bytes())
     add("golden-world-lerc1", (td / "world.lerc1").read_bytes())
 
-    out = pathlib.Path(__file__).parent / "test" / "vectors.js"
-    out.parent.mkdir(exist_ok=True)
-    out.write_text("window.VECTORS = " + json.dumps(vectors) + ";\n")
-    print(f"wrote {len(vectors)} vectors to {out} ({out.stat().st_size} bytes)")
+    payload = json.dumps(vectors)
+    outdir = pathlib.Path(__file__).parent / "test"
+    outdir.mkdir(exist_ok=True)
+    out = outdir / "vectors.js"
+    out.write_text("window.VECTORS = " + payload + ";\n")
+    # plain JSON twin: consumed by the node runner (run_node.mjs) and the
+    # C# TestRunner -- same vectors, no browser wrapper
+    (outdir / "vectors.json").write_text(payload + "\n")
+    print(f"wrote {len(vectors)} vectors to {out} ({out.stat().st_size} bytes)"
+          f" + vectors.json")
 
 
 if __name__ == "__main__":
