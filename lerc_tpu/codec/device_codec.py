@@ -12,10 +12,12 @@ Decode coverage: the scan-free tiling fast path (all-valid and masked,
 LUT and 16x16 records included), whole-image Huffman (masked included)
 and fpl f32/f64 via per-group bit-offset sidecars -- rebuilt by the
 native lengths-only scan for FOREIGN blobs, so reference-encoded 8-bit
-and lossless-float blobs decode device-parallel too -- and lossy f64
-tiling via exact softfloat dequant; fpl is mask-oblivious so masked
-blobs take the same pipeline. Remaining host corners: pre-v6 lossless
-f64, one-sweep, depth-diff records.
+and lossless-float blobs decode device-parallel too -- lossy f64 tiling
+via exact softfloat dequant, lossy f32 tiling BIT-EXACT via the same
+softfloat kernels (double ScaleBack + RNE narrow, Lerc2.h:381-399), and
+depth-diff records for every dtype but DOUBLE (lax.scan over depth);
+fpl is mask-oblivious so masked blobs take the same pipeline. Remaining
+host corners: pre-v6 lossless f64, one-sweep, f64 depth-diff.
 """
 from __future__ import annotations
 
@@ -26,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DataType, DT_SIZE, DT_TO_NUMPY, NUMPY_TO_DT, ImageEncodeMode, dt_is_int
-from ..ops import device_decode, device_encode, device_f64, device_fpl, device_huffman
+from ..ops import (device_decode, device_encode, device_f64, device_fpl,
+                   device_huffman, device_softf64 as softf64)
 from .. import native
 from . import fletcher32, header as hdr, huffman, rle
 from .. import profiling
@@ -956,14 +959,33 @@ def decode_band_device(
             return None  # outside the softfloat's normal-range contract
         out.data = img
         return out
+    inv_limbs, inv_bexp = None, 0
     if dt_is_int(head.dt):
         z_max_vec = np.round(zmax_src).astype(np.int32)
         offsets = recs["offset"].astype(np.int32)  # exact: int offsets fit f64
     else:
         z_max_vec = zmax_src.astype(np.float32)
         offsets = recs["offset"].astype(np.float32)
+        # Bit-exact f32 ScaleBack (Lerc2.h:381-399 runs in double): decompose
+        # invScale for the softfloat kernels. mze == 0 stays on the plain f32
+        # path (invScale 0 makes it exact already); a nonzero invScale the
+        # decomposition rejects (subnormal/inf/nan -- hostile headers only)
+        # or non-finite offsets/clamps (add_f64's precondition) -> host path.
+        if head.max_z_error != 0:
+            dec = softf64.decompose_scalar(2.0 * head.max_z_error)
+            if dec is None:
+                return None
+            inv_limbs, inv_bexp = dec
+            m8_np = recs["mode"] % 8
+            # stuff/LUT offsets feed add_f64 directly; const-offset ones
+            # feed the depth-diff chain's adds -- all must be finite
+            # (raw records carry unset offsets and are gated out)
+            uses_off = (m8_np == 1) | (m8_np == 4) | (m8_np == 3)
+            if not (np.isfinite(offsets[uses_off]).all()
+                    and np.isfinite(z_max_vec).all()):
+                return None
 
-    img = device_decode.decode_tiles(
+    img, sf_ok = device_decode.decode_tiles(
         jnp.asarray(stream_np),
         jnp.asarray(recs["mode"]),
         jnp.asarray(recs["payload_pos"].astype(np.int32)),
@@ -977,6 +999,9 @@ def decode_band_device(
         jnp.float32(head.max_z_error),
         jnp.asarray(z_max_vec),
         h, w, d, head.dt, bool(mask.all()), has_lut,
+        inv_limbs=inv_limbs, inv_bexp=inv_bexp,
     )
+    if inv_limbs is not None and not bool(np.asarray(sf_ok)):
+        return None  # sum left the normal-f64 range: host decoder
     out.data = np.asarray(img)
     return out

@@ -43,7 +43,8 @@ class ResidentBlob:
 class ResidentCodec:
     def __init__(self, h: int, w: int, d: int = 1, dtype=np.float32,
                  max_z_error: float = 0.001, version: int = 6,
-                 nb_cap: int = 0, mask: np.ndarray | None = None):
+                 nb_cap: int = 0, mask: np.ndarray | None = None,
+                 exact_f32: bool = True):
         self.h, self.w, self.d = h, w, d
         # nb_cap <= 16 selects the cheaper byte-aligned grouped kernels,
         # sized for packed widths <= nb_cap; blocks needing more trigger a
@@ -104,6 +105,23 @@ class ResidentCodec:
         ).try_huffman_int() or hdr.HeaderInfo(
             version=version, dt=self.dt, max_z_error=self.mze
         ).try_huffman_flt()
+        # Bit-exact f32 dequant (double ScaleBack via softfloat): decompose
+        # invScale once. None (mze 0, or a non-normal 2*mze, or the
+        # exact_f32=False speed opt-out -- worth ~10% of decode throughput,
+        # <= 1 ulp deviation, still within the maxZError bound) keeps the
+        # plain f32 dequant.
+        self._inv_dec = None
+        if exact_f32 and not dt_is_int(self.dt) and self.mze != 0:
+            from ..ops import device_softf64 as _sf
+
+            self._inv_dec = _sf.decompose_scalar(2.0 * self.mze)
+
+    def _exact_kw(self, dt: DataType) -> dict:
+        """kwargs enabling the bit-exact f32 softfloat dequant in the
+        device decode kernels ({} when inapplicable)."""
+        if self._inv_dec is None or dt != DataType.FLOAT:
+            return {}
+        return {"inv_limbs": self._inv_dec[0], "inv_bexp": self._inv_dec[1]}
 
     # ---- encode -----------------------------------------------------------
 
@@ -196,12 +214,22 @@ class ResidentCodec:
             # sizes the extraction for narrow packed widths (pw 33 vs 65:
             # ~16% faster on v5e); unfit records fall back to the
             # full-width kernel.
+            inv_kw = self._exact_kw(head.dt)
             img, index_ok, fits = device_decode.decode_tiles_fast(
                 blob.stream, blob.starts, jnp.float32(head.max_z_error),
                 zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
-                nb_cap=self.nb_cap, mask=self._mask_dev,
+                nb_cap=self.nb_cap, mask=self._mask_dev, **inv_kw,
             )
             if self.nb_cap and not bool(fits):
+                # nb_cap too narrow: retry uncapped (still exact)
+                img, index_ok, fits = device_decode.decode_tiles_fast(
+                    blob.stream, blob.starts, jnp.float32(head.max_z_error),
+                    zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
+                    mask=self._mask_dev, **inv_kw,
+                )
+            if inv_kw and not bool(fits):
+                # (rare) a softfloat sum left the normal-f64 range: f32
+                # dequant fallback (still within the maxZError spec)
                 img, index_ok, fits = device_decode.decode_tiles_fast(
                     blob.stream, blob.starts, jnp.float32(head.max_z_error),
                     zmax_arg, head.n_rows, head.n_cols, d, head.dt, head.version,
@@ -220,13 +248,23 @@ class ResidentCodec:
             )
         )
         all_valid = self._mask_dev is None
-        return device_decode.decode_tiles(
+        img, sf_ok = device_decode.decode_tiles(
             stream8, mode, payload_pos, offset, r_nb, r_ne,
             lut_pos, r_nlut, r_nbits_lut,
             self._ones if all_valid else self._mask_dev,
             jnp.float32(head.max_z_error), zmax_arg,
             head.n_rows, head.n_cols, d, head.dt, all_valid, False,
+            **self._exact_kw(head.dt),
         )
+        if not bool(sf_ok):  # rare softfloat range trip: f32 dequant
+            img, _ = device_decode.decode_tiles(
+                stream8, mode, payload_pos, offset, r_nb, r_ne,
+                lut_pos, r_nlut, r_nbits_lut,
+                self._ones if all_valid else self._mask_dev,
+                jnp.float32(head.max_z_error), zmax_arg,
+                head.n_rows, head.n_cols, d, head.dt, all_valid, False,
+            )
+        return img
 
     def _decode_masked_scan(self, blob: ResidentBlob, zmax_arg) -> jax.Array:
         """Masked decode without the record-offset index: native host scan
@@ -256,7 +294,7 @@ class ResidentCodec:
             offsets = recs["offset"].astype(np.int32)
         else:
             offsets = recs["offset"].astype(np.float32)
-        return device_decode.decode_tiles(
+        args = (
             jnp.asarray(stream_np),
             jnp.asarray(recs["mode"]),
             jnp.asarray(recs["payload_pos"].astype(np.int32)),
@@ -271,6 +309,10 @@ class ResidentCodec:
             head.n_rows, head.n_cols, d, head.dt, False,
             bool((recs["mode"] == 4).any()),
         )
+        img, sf_ok = device_decode.decode_tiles(*args, **self._exact_kw(head.dt))
+        if not bool(sf_ok):  # rare softfloat range trip: f32 dequant
+            img, _ = device_decode.decode_tiles(*args)
+        return img
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +449,7 @@ class FusedResidentCodec(ResidentCodec):
             # in meta already flags the same condition)
             img, index_ok, fits = device_decode.decode_tiles_fast(
                 stream, starts, jnp.float32(mze), zmax_vec, h_, w_, d_, dt_, ver,
-                nb_cap=nb_cap, mask=mask_dev,
+                nb_cap=nb_cap, mask=mask_dev, **self._exact_kw(dt_),
             )
             return img, ok & index_ok & fits
 
@@ -449,13 +491,13 @@ class FusedResidentCodec(ResidentCodec):
             (rp, mode, offset, r_nb, r_ne, payload_pos, lut_pos, r_nlut, r_nbits_lut) = (
                 device_scan.scan_records_device(stream8, n_rec, dt_, ver, 64)
             )
-            img = device_decode.decode_tiles(
+            img, sf_ok = device_decode.decode_tiles(
                 stream8, mode, payload_pos, offset, r_nb, r_ne,
                 lut_pos, r_nlut, r_nbits_lut,
                 ones, jnp.float32(mze), zmax_vec,
-                h_, w_, d_, dt_, True, False,
+                h_, w_, d_, dt_, True, False, **self._exact_kw(dt_),
             )
-            return img, ok
+            return img, ok & sf_ok
 
         self._encode_fused = encode_fused
         self._decode_fused = decode_fused

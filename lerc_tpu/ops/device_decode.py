@@ -6,8 +6,12 @@ clamp, scatter back to the image -- is data-parallel and runs here as one
 jit-compiled gather pipeline over [nRecords, 64] lanes.
 
 Supported record modes: raw, bit-stuffed (simple + LUT), const-0,
-const-offset. Depth-diff records (int lossless nDepth > 1) fall back to the
-host decoder, flagged by the scanner.
+const-offset, and (decode_tiles only) depth-diff chains resolved by a
+lax.scan over the depth axis. The f32 lossy dequant is BIT-EXACT against
+the reference's double ScaleBack when callers pass the decomposed
+invScale (softfloat mul/add/min + RNE narrow); decode_tiles_fast flags
+depth-diff records unfit instead (the encoder feeding it never emits
+them).
 """
 from __future__ import annotations
 
@@ -23,10 +27,39 @@ MB = 8
 BS = MB * MB
 
 
+def _exact_f32_scale_back(qv, offset_f32, zmax_f32_r, inv_limbs, inv_bexp,
+                          max_q_bits: int = 32):
+    """Bit-exact f32 ScaleBack (Lerc2.h:381-399): the reference dequantizes
+    FLOAT blobs in double -- z = zMin + q*invScale (one rounding per op),
+    z = min(z, zMaxClamp), then the C cast (float)z -- so f32 arithmetic
+    is ~1 ulp off. Runs the same three ops through the softfloat f64
+    kernels and narrows with RNE, making device f32 lossy decode
+    bit-for-bit the host/reference decoder.
+
+    qv: [N, B] u32 quants; offset_f32: [N] f32; zmax_f32_r: [N, 1] f32.
+    Returns (z [N, B] f32, (pre-clamp hi, lo) for depth-diff chains, ok).
+    ok False = a sum left the normal-f64 range (callers fall back)."""
+    from . import device_softf64 as sf
+
+    ph, pl = sf.mul_u32_scalar(qv.astype(jnp.uint32), inv_limbs, inv_bexp,
+                               max_q_bits=max_q_bits)
+    oh, ol = sf.f32_to_f64_bits(
+        jax.lax.bitcast_convert_type(offset_f32, jnp.uint32))
+    zh, zl, ok = sf.add_f64(
+        jnp.broadcast_to(oh[:, None], ph.shape),
+        jnp.broadcast_to(ol[:, None], pl.shape), ph, pl)
+    zmh, zml = sf.f32_to_f64_bits(
+        jax.lax.bitcast_convert_type(zmax_f32_r, jnp.uint32))
+    ch, cl = sf.min_f64(zh, zl, jnp.broadcast_to(zmh, zh.shape),
+                        jnp.broadcast_to(zml, zl.shape))
+    z = jax.lax.bitcast_convert_type(sf.f64_to_f32_rne(ch, cl), jnp.float32)
+    return z, (zh, zl), jnp.all(ok)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("h", "w", "d", "dt", "version", "nb_cap", "mb",
-                     "n_tiles", "enable_lut"),
+                     "n_tiles", "enable_lut", "inv_limbs", "inv_bexp"),
 )
 def decode_tiles_fast(
     stream,       # [S] uint8 tile-stream bytes, S % 512 == 0
@@ -38,6 +71,8 @@ def decode_tiles_fast(
     mb: int = 8,       # micro-block size of the records (8 or 16)
     n_tiles: int = 1,  # tiles batched into one record axis (one dispatch)
     enable_lut: bool = False,  # build the LUT-record decode graph
+    inv_limbs: tuple | None = None,  # decompose_scalar(2*maxZError): when
+    inv_bexp: int = 0,               # set, f32 dequant is bit-exact f64
 ):
     """Aligned fast decode. One sorted row gather per record (over
     overlapping stride-S window rows) brings each record's bytes into a
@@ -328,13 +363,27 @@ def decode_tiles_fast(
     # per-record clamp vector: tile t's [D] ranges repeat over its blocks
     zmax_t = z_max_vec.reshape(n_tiles, 1, d) if n_tiles > 1 else z_max_vec.reshape(1, 1, d)
     m2 = mode[:, None]
+    sf_ok = jnp.bool_(True)
     if not is_int:
         raw_f = jax.lax.bitcast_convert_type(val, jnp.float32)
         off2 = offset[:, None]
         zmax_r = jnp.broadcast_to(
             zmax_t.astype(jnp.float32), (n_tiles, n_blocks, d)
         ).reshape(n_rec)[:, None]
-        z_stuff = jnp.minimum(off2 + val.astype(jnp.float32) * inv_scale, zmax_r)
+        if inv_limbs is not None:
+            # bit-exact double ScaleBack; gate raw/const records' quants
+            # AND offsets out of the softfloat lanes (raw records carry
+            # f32 bit patterns as quants and unset offsets -- garbage
+            # there would spuriously trip the ok flag or violate add_f64's
+            # zero-or-normal input contract)
+            stuffish = (mode == 1) | (mode == 4)
+            qv_gated = jnp.where(stuffish[:, None], val, 0)
+            off_gated = jnp.where(stuffish, offset, jnp.float32(0))
+            z_stuff, _, sf_ok = _exact_f32_scale_back(
+                qv_gated, off_gated, zmax_r, inv_limbs, inv_bexp,
+                max_q_bits=eff_cap)
+        else:
+            z_stuff = jnp.minimum(off2 + val.astype(jnp.float32) * inv_scale, zmax_r)
         z = jnp.where(
             m2 == 0, raw_f,
             jnp.where(m2 == 2, 0.0, jnp.where(m2 == 3, off2, z_stuff)),
@@ -412,7 +461,7 @@ def decode_tiles_fast(
         fits = jnp.bool_(True)
     else:
         fits = ~jnp.any(((mode == 0) | (mode == 1)) & (eff_nb > eff_cap))
-    fits = fits & ~lut_unfit
+    fits = fits & ~lut_unfit & sf_ok
     return img, index_ok, fits
 
 
@@ -442,7 +491,8 @@ def _unpack_records(stream, payload_pos, num_bits, max_vals: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "d", "dt", "all_valid", "has_lut")
+    jax.jit, static_argnames=("h", "w", "d", "dt", "all_valid", "has_lut",
+                              "inv_limbs", "inv_bexp")
 )
 def decode_tiles(
     stream,        # [S] uint8 tile-stream bytes (absolute offsets match scanner)
@@ -458,8 +508,13 @@ def decode_tiles(
     max_z_error,   # f32 scalar
     z_max_vec,     # [D] f32 clamp values
     h: int, w: int, d: int, dt: DataType, all_valid: bool, has_lut: bool,
+    inv_limbs: tuple | None = None,  # decompose_scalar(2*maxZError): when
+    inv_bexp: int = 0,               # set, f32 dequant is bit-exact f64
 ):
-    """Returns data [H, W, D] in the native dtype."""
+    """Returns (data [H, W, D] in the native dtype, ok). ok is False only
+    when the exact-f32 softfloat path saw a sum leave the normal-f64
+    range (callers fall back to the host decoder); always True
+    otherwise."""
     is_int = dt < DataType.FLOAT
     np_out = {DataType.CHAR: jnp.int8, DataType.BYTE: jnp.uint8,
               DataType.SHORT: jnp.int16, DataType.USHORT: jnp.uint16,
@@ -512,6 +567,8 @@ def decode_tiles(
 
     # ---- raw values + mode combine
     m8 = (mode % 8)[:, None]
+    sf_ok = jnp.bool_(True)
+    sf_pair = None
     if not is_int:
         b0 = payload_pos[:, None] + rank * 4
         word = (
@@ -523,7 +580,16 @@ def decode_tiles(
         raw_vals = jax.lax.bitcast_convert_type(word.astype(jnp.uint32), jnp.float32)
         off2 = offset[:, None]
         zmax_r = jnp.tile(z_max_vec.astype(jnp.float32), n_blocks)[:, None]
-        z_stuff = jnp.minimum(off2 + qv.astype(jnp.float32) * inv_scale, zmax_r)
+        if inv_limbs is not None:
+            # gate raw/const records' quants and offsets out of the
+            # softfloat lanes (see decode_tiles_fast)
+            stuffish = (mode % 8 == 1) | (mode % 8 == 4)
+            z_stuff, sf_pair, sf_ok = _exact_f32_scale_back(
+                jnp.where(stuffish[:, None], qv, 0),
+                jnp.where(stuffish, offset, jnp.float32(0)), zmax_r,
+                inv_limbs, inv_bexp)
+        else:
+            z_stuff = jnp.minimum(off2 + qv.astype(jnp.float32) * inv_scale, zmax_r)
         z = jnp.where(
             m8 == 0, raw_vals,
             jnp.where(m8 == 2, 0.0, jnp.where(m8 == 3, off2, z_stuff)),
@@ -564,7 +630,7 @@ def decode_tiles(
     # Sequential in depth by construction (Lerc2.cpp:2026-2230 ReadTile's
     # bDiff branches), so a lax.scan over the (tiny) depth axis resolves
     # the chain; everything per-slice stays vectorized over records.
-    if d > 1:
+    if d > 1 and (is_int or sf_pair is None):
         is_diff = (mode >= 8)[:, None]
         sh = (n_blocks, d, BS)
         xs = (
@@ -585,6 +651,57 @@ def decode_tiles(
         zero = jnp.zeros((n_blocks, BS), out_vals.dtype)
         _, slices = jax.lax.scan(step, zero, xs)
         out_vals = slices.transpose(1, 0, 2).reshape(n_rec, BS)
+    elif d > 1:
+        # exact f32 diff chain: z = (float)min(a_diff_f64 + (double)prev,
+        # zMax) with prev the previous slice's decoded FLOAT, exactly the
+        # reference's evaluation order (ScaleBack's left-to-right sum).
+        from . import device_softf64 as sf
+
+        is_diff = (mode >= 8)[:, None]
+        # a_diff as f64 pairs: pre-clamp stuff sum for stuff/LUT (and raw,
+        # matching the f32 branch's formula choice), widened offset for
+        # const-offset; const-2 bypasses via is_c2 in the step
+        offh, offl = sf.f32_to_f64_bits(
+            jax.lax.bitcast_convert_type(offset, jnp.uint32))
+        a_h = jnp.where(m8 == 3, jnp.broadcast_to(offh[:, None], sf_pair[0].shape),
+                        sf_pair[0])
+        a_l = jnp.where(m8 == 3, jnp.broadcast_to(offl[:, None], sf_pair[1].shape),
+                        sf_pair[1])
+        zmh, zml = sf.f32_to_f64_bits(
+            jax.lax.bitcast_convert_type(zmax_rr, jnp.uint32))
+        sh = (n_blocks, d, BS)
+        sh1 = (n_blocks, d, 1)
+        xs = (
+            out_vals.reshape(sh).transpose(1, 0, 2),
+            a_h.reshape(sh).transpose(1, 0, 2),
+            a_l.reshape(sh).transpose(1, 0, 2),
+            is_diff.reshape(sh1).transpose(1, 0, 2),
+            (m8 == 2).reshape(sh1).transpose(1, 0, 2),
+            write.reshape(sh).transpose(1, 0, 2),
+            zmh.reshape(sh1).transpose(1, 0, 2),
+            zml.reshape(sh1).transpose(1, 0, 2),
+        )
+
+        def step(carry, x):
+            prev, okc = carry
+            z_nd, ah, al, dif, is_c2, wr, zmh_, zml_ = x
+            ph, pl = sf.f32_to_f64_bits(
+                jax.lax.bitcast_convert_type(prev, jnp.uint32))
+            th, tl, ok_a = sf.add_f64(ah, al, ph, pl)
+            ch, cl = sf.min_f64(th, tl, jnp.broadcast_to(zmh_, th.shape),
+                                jnp.broadcast_to(zml_, tl.shape))
+            z_df = jax.lax.bitcast_convert_type(
+                sf.f64_to_f32_rne(ch, cl), jnp.float32)
+            z_df = jnp.where(is_c2, prev, z_df)
+            out = jnp.where(dif, jnp.where(wr, z_df, 0), z_nd)
+            # only diff records' adds can trip ok (others are discarded)
+            okc = okc & jnp.all(ok_a | ~dif)
+            return (out, okc), out
+
+        zero = jnp.zeros((n_blocks, BS), out_vals.dtype)
+        (_, sf_ok_d), slices = jax.lax.scan(step, (zero, jnp.bool_(True)), xs)
+        sf_ok = sf_ok & sf_ok_d
+        out_vals = slices.transpose(1, 0, 2).reshape(n_rec, BS)
     out_vals = out_vals.astype(np_out)
 
     # ---- scatter back: records [nB*d, 64] -> [H, W, D]
@@ -594,7 +711,7 @@ def decode_tiles(
         .transpose(0, 2, 1, 3, 4)
         .reshape(nbv * MB, nbh * MB, d)[:h, :w, :]
     )
-    return img
+    return img, sf_ok
 
 
 @functools.partial(

@@ -122,17 +122,24 @@ def _shl_pair(h, l, n):
 # q (u32) * scalar -> f64 bits, round-to-nearest-even
 # ---------------------------------------------------------------------------
 
-def mul_u32_scalar(q, limbs, base_bexp: int):
+def mul_u32_scalar(q, limbs, base_bexp: int, max_q_bits: int = 32):
     """Exact product of a uint32 quant array with the decomposed positive
     normal scalar (from decompose_scalar), rounded once to f64 RNE.
-    Returns (hi, lo) uint32 bit-pattern arrays; q == 0 gives +0.0."""
+    Returns (hi, lo) uint32 bit-pattern arrays; q == 0 gives +0.0.
+
+    max_q_bits: static bound on q's bit width. <= 16 (always true under
+    the nb_cap=16 kernels) halves the partial products and collapses the
+    normalization to single-word shifts (product <= 69 bits: shift <= 16,
+    guard/sticky all in w0) -- measured on the r4 bench decode path."""
     q = q.astype(_U32)
+    narrow = max_q_bits <= 16
     q0 = q & jnp.uint32(0xFFFF)
-    q1 = q >> jnp.uint32(16)
+    q_rows = (q0,) if narrow else (q0, q >> jnp.uint32(16))
     # 85-bit product in six 16-bit columns; each partial is an exact
     # 16x16->32 multiply, halves accumulate without overflow (<= 2^19)
-    cols = [jnp.zeros(q.shape, _U32) for _ in range(7)]
-    for i, qi in enumerate((q0, q1)):
+    n_cols = 6 if narrow else 7
+    cols = [jnp.zeros(q.shape, _U32) for _ in range(n_cols)]
+    for i, qi in enumerate(q_rows):
         for j, sj in enumerate(limbs):
             if sj == 0:
                 continue
@@ -145,36 +152,48 @@ def mul_u32_scalar(q, limbs, base_bexp: int):
         v = c + carry
         out_limbs.append(v & jnp.uint32(0xFFFF))
         carry = v >> jnp.uint32(16)
-    # product words W0..W2 (<= 85 bits < 96)
+    # product words W0..W2 (<= 85 bits < 96; <= 69 bits when narrow)
     w0 = out_limbs[0] | (out_limbs[1] << jnp.uint32(16))
     w1 = out_limbs[2] | (out_limbs[3] << jnp.uint32(16))
-    w2 = out_limbs[4] | (out_limbs[5] << jnp.uint32(16))
+    w2 = (out_limbs[4] | (out_limbs[5] << jnp.uint32(16))) if not narrow \
+        else out_limbs[4]
 
     # normalize: total bit length in [53, 85] for q >= 1
     nb2 = _bit_length_u32(w2)
     nb1 = _bit_length_u32(w1)
     nb0 = _bit_length_u32(w0)
     nbits = jnp.where(w2 > 0, 64 + nb2, jnp.where(w1 > 0, 32 + nb1, nb0))
-    shift = jnp.maximum(nbits - 53, 0)  # in [0, 32]
+    shift = jnp.maximum(nbits - 53, 0)  # in [0, 32] (narrow: [0, 16])
 
     # mantissa = product >> shift (shift <= 32: result fits two words)
     sh = shift.astype(_U32)
-    big = sh >= 32  # shift == 32 exactly
-    hi_sh = jnp.where(big, w2, jnp.where(
-        sh > 0, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)), w1))
-    lo_sh = jnp.where(big, w1, jnp.where(
-        sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0))
-    # guard + sticky from the shifted-out low `shift` bits (all in w0/w1)
-    g_pos = sh - _ONE
-    guard = jnp.where(
-        sh == 0, _ZERO,
-        jnp.where(g_pos >= 32, (w1 >> (g_pos - jnp.uint32(32))) & _ONE,
-                  (w0 >> jnp.where(sh == 0, _ZERO, g_pos)) & _ONE))
-    below_mask = jnp.where(g_pos > 0, jnp.where(
-        g_pos >= 32, jnp.uint32(0xFFFFFFFF), (_ONE << g_pos) - _ONE), _ZERO)
-    below_hi = jnp.where(g_pos > jnp.uint32(32), (_ONE << (g_pos - jnp.uint32(32))) - _ONE, _ZERO)
-    sticky = jnp.where(sh <= 1, jnp.bool_(False),
-                       ((w0 & below_mask) | (w1 & below_hi)) != 0)
+    if narrow:  # sh <= 16 < 32: single-word funnels, no w2-only case
+        hi_sh = jnp.where(sh > 0, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)), w1)
+        lo_sh = jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
+        g_pos = sh - _ONE
+        guard = jnp.where(
+            sh == 0, _ZERO, (w0 >> jnp.where(sh == 0, _ZERO, g_pos)) & _ONE)
+        below_mask = jnp.where(
+            g_pos.astype(jnp.int32) > 0, (_ONE << (g_pos & jnp.uint32(31))) - _ONE,
+            _ZERO)
+        sticky = jnp.where(sh <= 1, jnp.bool_(False), (w0 & below_mask) != 0)
+    else:
+        big = sh >= 32  # shift == 32 exactly
+        hi_sh = jnp.where(big, w2, jnp.where(
+            sh > 0, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)), w1))
+        lo_sh = jnp.where(big, w1, jnp.where(
+            sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0))
+        # guard + sticky from the shifted-out low `shift` bits (in w0/w1)
+        g_pos = sh - _ONE
+        guard = jnp.where(
+            sh == 0, _ZERO,
+            jnp.where(g_pos >= 32, (w1 >> (g_pos - jnp.uint32(32))) & _ONE,
+                      (w0 >> jnp.where(sh == 0, _ZERO, g_pos)) & _ONE))
+        below_mask = jnp.where(g_pos > 0, jnp.where(
+            g_pos >= 32, jnp.uint32(0xFFFFFFFF), (_ONE << g_pos) - _ONE), _ZERO)
+        below_hi = jnp.where(g_pos > jnp.uint32(32), (_ONE << (g_pos - jnp.uint32(32))) - _ONE, _ZERO)
+        sticky = jnp.where(sh <= 1, jnp.bool_(False),
+                           ((w0 & below_mask) | (w1 & below_hi)) != 0)
     lsb = lo_sh & _ONE
     round_up = (guard == 1) & (sticky | (lsb == 1))
     lo_r = lo_sh + round_up.astype(_U32)
@@ -315,3 +334,79 @@ def min_f64(zh, zl, mh, ml):
     kmh, kml = key(mh, ml)
     m_less = (kmh < kzh) | ((kmh == kzh) & (kml < kzl))
     return jnp.where(m_less, mh, zh), jnp.where(m_less, ml, zl)
+
+
+# ---------------------------------------------------------------------------
+# f32 <-> f64 bit-pattern conversions (for exact f32 ScaleBack: the
+# reference dequantizes FLOAT blobs in double then casts to float --
+# Lerc2.h:381-399 `double z = zMin + quant*invScale; dataBuf[i] = (T)z`)
+# ---------------------------------------------------------------------------
+
+def f32_to_f64_bits(bits):
+    """Exact widening of IEEE f32 bit patterns to (hi, lo) f64 pairs.
+    Handles zero, subnormal (renormalized -- any finite f32 is zero or
+    NORMAL as f64), inf and NaN (quiet bit preserved via mantissa shift)."""
+    bits = bits.astype(_U32)
+    sign = bits & jnp.uint32(0x80000000)
+    e8 = ((bits >> jnp.uint32(23)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    m23 = bits & jnp.uint32(0x7FFFFF)
+
+    # normal f32: e11 = e8 - 127 + 1023
+    e11 = e8 + 896
+    hi_n = sign | (e11.astype(_U32) << jnp.uint32(20)) | (m23 >> jnp.uint32(3))
+    lo_n = m23 << jnp.uint32(29)
+
+    # subnormal f32: value = m23 * 2^-149; normalize the <=23-bit mantissa
+    nb = _bit_length_u32(m23)                      # leading bit position
+    sh = (24 - nb).astype(_U32)                    # left shift to bit 23
+    m_norm = jnp.where(nb > 0, m23 << sh, _ZERO) & jnp.uint32(0x7FFFFF)
+    e11_s = (nb + 873).astype(_U32)                # e11 = (nb-150) + 1023
+    hi_s = sign | (e11_s << jnp.uint32(20)) | (m_norm >> jnp.uint32(3))
+    lo_s = m_norm << jnp.uint32(29)
+
+    hi_inf = sign | jnp.uint32(0x7FF00000) | (m23 >> jnp.uint32(3))
+    lo_inf = m23 << jnp.uint32(29)
+
+    is_zero = (e8 == 0) & (m23 == 0)
+    hi = jnp.where(e8 == 255, hi_inf,
+                   jnp.where(e8 == 0, jnp.where(is_zero, sign, hi_s), hi_n))
+    lo = jnp.where(e8 == 255, lo_inf,
+                   jnp.where(e8 == 0, jnp.where(is_zero, _ZERO, lo_s), lo_n))
+    return hi, lo
+
+
+def f64_to_f32_rne(hi, lo):
+    """IEEE f64 (hi, lo) bit pairs -> f32 bit patterns, round to nearest
+    even -- the C cast `(float)z` with default rounding. Handles overflow
+    to inf, underflow through f32 subnormals to zero, inf and NaN
+    (quieted to 0x7FC00000 | sign, matching x86/ARM double->float casts
+    of the NaNs this codec can produce)."""
+    hi = hi.astype(_U32)
+    lo = lo.astype(_U32)
+    sign = hi & jnp.uint32(0x80000000)
+    e = ((hi >> jnp.uint32(20)) & jnp.uint32(0x7FF)).astype(jnp.int32)
+    m_hi = hi & jnp.uint32(0xFFFFF)
+    sig_hi = m_hi | jnp.uint32(0x100000)           # 53-bit sig in (sig_hi, lo)
+
+    e32 = e - 896                                  # biased f32 exp if normal
+    # shift so the kept part lands in 24 bits (normal) or fewer (subnormal)
+    d = jnp.where(e32 >= 1, 29, 30 - e32)
+    d = jnp.clip(d, 29, 63)
+    h1, l1, st = _shr_pair_sticky(sig_hi, lo, d - 1)
+    keep0 = l1 >> _ONE                             # h1 == 0: >= 21 bits gone
+    rb = l1 & _ONE
+    keep = keep0 + (rb & (st.astype(_U32) | (keep0 & _ONE)))
+
+    # normal: keep in [2^23, 2^24]; ((e32-1)<<23)+keep self-carries the
+    # rounding overflow (keep=2^24 bumps the exponent, rolling into inf at
+    # e32=254 exactly). subnormal: keep <= 2^23 IS the encoding (keep=2^23
+    # rolls into the min normal, which is the correct rounding there).
+    body_n = ((e32 - 1).astype(_U32) << jnp.uint32(23)) + keep
+    body = jnp.where(e32 >= 1, body_n, keep)
+    body = jnp.where(e32 >= 255, jnp.uint32(0x7F800000), body)
+    is_nan = (e == 0x7FF) & ((m_hi | lo) != 0)
+    body = jnp.where(e == 0x7FF,
+                     jnp.where(is_nan, jnp.uint32(0x7FC00000),
+                               jnp.uint32(0x7F800000)), body)
+    body = jnp.where(e == 0, _ZERO, body)          # f64 subnormal << f32 range
+    return sign | body

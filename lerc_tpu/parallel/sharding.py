@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import DataType, NUMPY_TO_DT, DT_SIZE, DT_TO_NUMPY
-from ..ops import device_decode, device_encode
+from ..ops import device_decode, device_encode, device_softf64 as softf64
 from ..codec import fletcher32, header as hdr
 
 MOSAIC_MAGIC = b"LercTpuMosaic1"
@@ -327,12 +327,14 @@ class MosaicEncoder:
 
             # each process contributes its shard rows; the 1-D mesh
             # enumerates devices in process order, so axis-0 concatenation
+            # (tiled=True -- the default would STACK a process axis and
+            # renumber tiles per process, caught by tests/mp_worker.py)
             # restores global tile order
             local_idx = sorted(stream_parts)
             g_streams = multihost_utils.process_allgather(
-                np.stack([stream_parts[t] for t in local_idx]))
+                np.stack([stream_parts[t] for t in local_idx]), tiled=True)
             g_starts = multihost_utils.process_allgather(
-                np.stack([starts_parts[t] for t in local_idx]))
+                np.stack([starts_parts[t] for t in local_idx]), tiled=True)
             stream_parts = dict(enumerate(g_streams))
             starts_parts = dict(enumerate(g_starts))
 
@@ -629,11 +631,25 @@ def _decode_tiles_device_batched(info, views, layouts, wanted, mesh=None):
             sa = jnp.asarray(sa_np)
             zmax_arg = jnp.asarray(zmax_np)
             mask_arg = jnp.asarray(mask_np) if mask_np is not None else None
-        imgs, idx_ok, _fits = device_decode.decode_tiles_fast(
+        inv_kw = {}
+        if hd.dt == DataType.FLOAT and hd.max_z_error != 0:
+            # bit-exact f32 dequant (double ScaleBack via softfloat); a
+            # rejected decomposition keeps the f32 path (<= 1 ulp)
+            dec = softf64.decompose_scalar(2.0 * hd.max_z_error)
+            if dec is not None and np.isfinite(zmax_np).all():
+                inv_kw = {"inv_limbs": dec[0], "inv_bexp": dec[1]}
+        imgs, idx_ok, fits = device_decode.decode_tiles_fast(
             stream_dev, sa, jnp.float32(hd.max_z_error), zmax_arg,
             tile_h, tile_w, d, hd.dt, hd.version,
-            mask=mask_arg, mb=mb, n_tiles=n_pad, enable_lut=True,
+            mask=mask_arg, mb=mb, n_tiles=n_pad, enable_lut=True, **inv_kw,
         )
+        if inv_kw and not bool(np.asarray(fits)):
+            # rare softfloat range trip: f32 dequant (within maxZError)
+            imgs, idx_ok, fits = device_decode.decode_tiles_fast(
+                stream_dev, sa, jnp.float32(hd.max_z_error), zmax_arg,
+                tile_h, tile_w, d, hd.dt, hd.version,
+                mask=mask_arg, mb=mb, n_tiles=n_pad, enable_lut=True,
+            )
         if not bool(np.asarray(idx_ok)):
             raise ValueError(
                 "mosaic: record-offset index inconsistent with stream "
