@@ -82,23 +82,33 @@ def log(msg):
     print(f"[{time.perf_counter()-T0:6.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+@jax.jit
 def make_tiles():
-    """Synthetic DEM tiles: smooth structure + noise, generated HOST-side
-    with numpy and device_put once. The round-3 driver run burned 296 s
-    before "tiles ready" on a jitted generator (VERDICT r3 weak #1) --
-    tile prep must never cost a compile."""
-    x = np.linspace(0, 20, TILE)[None, :]
-    y = np.linspace(0, 15, TILE)[:, None]
-    rng = np.random.default_rng(42)
-    tiles = np.stack([
-        (
-            1500 * np.exp(-((x - 10) ** 2 + (y - 7) ** 2) / 20)
-            + 50 * np.sin(x + s) * np.cos(y)
-            + 0.5 * rng.standard_normal((TILE, TILE))
-        ).astype(np.float32)[:, :, None]
-        for s in range(N_TILES)
-    ])
-    return jax.device_put(tiles)
+    """Synthetic DEM tiles: smooth structure + hash noise, generated ON
+    DEVICE from iota -- nothing crosses the tunnel. Both alternatives
+    burned driver budget in past rounds: the r3 jitted jax.random
+    generator compiled for 296 s, and a host-numpy + device_put(64 MB)
+    variant stalled 643 s on a flaky tunnel transfer. Integer-hash noise
+    compiles in seconds and transfers zero bytes."""
+    x = jnp.linspace(0, 20, TILE)[None, :]
+    y = jnp.linspace(0, 15, TILE)[:, None]
+
+    def one(seed):
+        # xxhash-style avalanche on the pixel counter: uniform u32 noise
+        i = (jnp.arange(TILE * TILE, dtype=jnp.uint32).reshape(TILE, TILE)
+             + jnp.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF))
+        i = (i ^ (i >> 16)) * jnp.uint32(0x45D9F3B)
+        i = (i ^ (i >> 16)) * jnp.uint32(0x45D9F3B)
+        i = i ^ (i >> 16)
+        noise = i.astype(jnp.float32) * jnp.float32(2**-32) - 0.5
+        dem = (
+            1500 * jnp.exp(-((x - 10) ** 2 + (y - 7) ** 2) / 20)
+            + 50 * jnp.sin(x + seed) * jnp.cos(y)
+            + noise
+        ).astype(jnp.float32)
+        return dem[:, :, None]
+
+    return jnp.stack([one(s) for s in range(N_TILES)])
 
 
 def time_phases(codec, tiles, rounds, chain):
@@ -181,7 +191,11 @@ def bench_masked(tiles, nb_cap, rounds=3):
         return bench_masked(tiles, 0, rounds)
     dec = codec._decode_fused_fast(out[0], out[1], out[3])
     np.asarray(dec[1])
-    CHAIN = 8
+    # chain enough calls that the ~25 ms tunnel-RTT fetch and per-call
+    # dispatch amortize to <1 ms/call, like the 40-call unmasked passes
+    # (chain=8 buried ~2.5 ms/call of pure measurement overhead in the
+    # masked numbers)
+    CHAIN = 24
     best_enc = best_dec = np.inf
     for _ in range(rounds):
         t0 = time.perf_counter()
