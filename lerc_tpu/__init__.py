@@ -12,6 +12,7 @@ from .api import (
     compress,
     computeCompressedSize,
     computeCompressedSize_4D,
+    computeCompressedSizeForVersion,
     convert2ma,
     decode,
     decode_4D,
@@ -22,6 +23,7 @@ from .api import (
     encode,
     encode_4D,
     encode_ma,
+    encodeForVersion,
     findDataRange,
     findDataRange_ma,
     findMaxZError,

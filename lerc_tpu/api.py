@@ -146,13 +146,15 @@ def encode_4D(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, n_bytes_hint
                        npma_no_data_per_band)
 
 
-def _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, n_bytes_hint, npma_no_data):
+def _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, n_bytes_hint,
+                npma_no_data, version=-1):
     try:
         data4 = _to_4d(np_arr, n_values_per_pixel)
         n_bands = data4.shape[0]
         masks = _prep_masks(np_valid_mask, n_bands, data4.shape[1], data4.shape[2])
         uses, vals = _nodata_arrays(npma_no_data, n_bands)
-        blob = encode_blob(data4, masks, max_z_err, uses_no_data=uses, no_data_values=vals)
+        blob = encode_blob(data4, masks, max_z_err, version=version,
+                           uses_no_data=uses, no_data_values=vals)
     except LercEncodeError as e:
         return (int(e.code), 0)
     except ValueError:
@@ -160,6 +162,24 @@ def _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, n_bytes_hi
     if n_bytes_hint == 0:
         return (0, len(blob))
     return (0, len(blob), blob)
+
+
+def encodeForVersion(np_arr, version, n_values_per_pixel, b_has_mask,
+                     np_valid_mask, max_z_err, n_bytes_hint, printInfo=False):
+    """lerc_encodeForVersion (Lerc_c_api.h:139-160): encode targeting a
+    specific codec version (2..6, or -1 for the current one). Same tuple
+    returns as encode()."""
+    return _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err,
+                       n_bytes_hint, None, version=version)
+
+
+def computeCompressedSizeForVersion(np_arr, version, n_values_per_pixel,
+                                    b_has_mask, np_valid_mask, max_z_err,
+                                    printInfo=False):
+    """lerc_computeCompressedSizeForVersion (Lerc_c_api.h:162-176)."""
+    rv = _encode_ext(np_arr, n_values_per_pixel, np_valid_mask, max_z_err, 0,
+                     None, version=version)
+    return rv[:2]
 
 
 def computeCompressedSize(np_arr, n_values_per_pixel, b_has_mask, np_valid_mask,

@@ -261,3 +261,32 @@ def test_lerc1_decode_to_dtype():
     l2 = open("/root/reference/testData/california_400_400_1_float.lerc2", "rb").read()
     assert api.decode_to_dtype(l2, np.float32)[0] == 0
     assert api.decode_to_dtype(l2, np.int16) == 2  # WRONG_PARAM
+
+
+def test_encode_for_version():
+    """lerc_encodeForVersion / lerc_computeCompressedSizeForVersion
+    (Lerc_c_api.h:139-176): the blob targets the requested codec version
+    and the reference decodes it; sizes match exactly."""
+    rng = np.random.default_rng(23)
+    h, w = 120, 140
+    data = (40 * np.sin(np.linspace(0, 7, h))[:, None]
+            * np.cos(np.linspace(0, 5, w))[None, :]
+            + rng.normal(0, 1, (h, w))).astype(np.float32)
+    from lerc_tpu.codec import header as hdr
+
+    for v in (2, 3, 4, 5, 6, -1):
+        r, n, blob = lerc.encodeForVersion(data, v, 1, False, None, 0.01,
+                                           data.nbytes * 2)
+        assert r == 0
+        blob = bytes(blob[:n])
+        head, _ = hdr.read_header(memoryview(blob))
+        assert head.version == (v if v != -1 else 6)
+        r2, nsz = lerc.computeCompressedSizeForVersion(data, v, 1, False,
+                                                       None, 0.01)
+        assert r2 == 0 and nsz == n
+        rd, img, _m = lerc.decode(blob)
+        assert rd == 0
+        assert np.abs(np.asarray(img) - data).max() <= 0.01 * 1.001
+        if oracle.available():
+            ref = oracle.decode(blob)[0].reshape(h, w)
+            np.testing.assert_array_equal(ref, np.asarray(img))
