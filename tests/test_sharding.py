@@ -170,8 +170,8 @@ def test_mosaic_16x16_tiles_device_decode(monkeypatch):
         for t, v in enumerate(views):
             ref = oracle.decode(bytes(v))[0].reshape(32, 32)
             i, j = divmod(t, info["grid"][1])
-            np.testing.assert_allclose(
-                ref, out[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32, 0], atol=1e-4)
+            np.testing.assert_array_equal(
+                ref, out[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32, 0])
 
 
 def test_mosaic_lut_tiles_device_decode(monkeypatch):
@@ -203,7 +203,7 @@ def test_mosaic_lut_tiles_device_decode(monkeypatch):
     _info, views = rm(blob)
     if oracle.available():
         ref = oracle.decode(bytes(views[0]))[0].reshape(32, 32)
-        np.testing.assert_allclose(ref, out[:32, :32, 0], atol=1e-4)
+        np.testing.assert_array_equal(ref, out[:32, :32, 0])
 
 
 def test_mosaic_region_decode(monkeypatch):
@@ -232,7 +232,7 @@ def test_mosaic_region_decode(monkeypatch):
     err = np.abs(region[:, :, 0].astype(np.float64)
                  - data[10:70, 40:90, 0]).max()
     assert err <= 0.0101
-    np.testing.assert_allclose(region, region_host, atol=1e-4)
+    np.testing.assert_array_equal(region, region_host)
 
 
 def test_mosaic_streamed_encode_matches():
@@ -307,11 +307,8 @@ def test_mosaic_multiband_device_decode(monkeypatch):
             sl = np.s_[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32]
             tm = mask[sl]
             for b in range(3):
-                # device f32 dequant vs the reference's f64-then-cast:
-                # a few ulp of the value magnitude
-                d = np.abs(ref[b][tm] - out[b][sl + (0,)][tm])
-                tol = 1e-4 + 1e-6 * np.abs(ref[b][tm])
-                assert (d <= tol).all()
+                # device decode is bit-exact vs the reference (r4)
+                np.testing.assert_array_equal(ref[b][tm], out[b][sl + (0,)][tm])
     # per-band Lerc2 blobs share one inline mask per tile (reuse flag)
     from lerc_tpu.parallel.sharding import _tile_band_layouts
     from lerc_tpu.codec import header as hdrm
@@ -342,10 +339,10 @@ def test_mosaic_multiband_region_and_host_agree():
     full = decode_mosaic_device(blob)
     host = decode_mosaic(blob)
     assert full.shape == host.shape == (2, h, w, 1)
-    np.testing.assert_allclose(full, host, atol=1e-4)
+    np.testing.assert_array_equal(full, host)
     reg = decode_mosaic_region(blob, 15, 80, 20, 90)
     assert reg.shape == (2, 65, 70, 1)
-    np.testing.assert_allclose(reg, full[:, 15:80, 20:90], atol=1e-4)
+    np.testing.assert_array_equal(reg, full[:, 15:80, 20:90])
 
 
 def test_mosaic_multiband_per_band_masks():
