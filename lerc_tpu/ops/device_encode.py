@@ -600,6 +600,11 @@ def encode_tiles(
         pk = pack(cq, nb, n_blocks, pw)
 
         if enable_lut:
+            # NOTE (r4, measured): computing the candidate from POSITION
+            # space (q + compact_idx) to unhook the sort/le-matrix from the
+            # compaction barrier made masked encode SLOWER (9.5 -> 11.8 ms
+            # per 2048^2 tile) -- the extra idx routing chain costs more
+            # than the serialization it avoids. Keep stream space.
             n_lut, lut_payload, lut_payload_len = _lut_candidate(
                 cq, cnt, nb, n_blocks, pw, pack
             )
