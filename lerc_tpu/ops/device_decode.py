@@ -48,11 +48,11 @@ def _exact_f32_scale_back(qv, offset_f32, zmax_f32_r, inv_limbs, inv_bexp,
     zh, zl, ok = sf.add_f64(
         jnp.broadcast_to(oh[:, None], ph.shape),
         jnp.broadcast_to(ol[:, None], pl.shape), ph, pl)
-    zmh, zml = sf.f32_to_f64_bits(
-        jax.lax.bitcast_convert_type(zmax_f32_r, jnp.uint32))
-    ch, cl = sf.min_f64(zh, zl, jnp.broadcast_to(zmh, zh.shape),
-                        jnp.broadcast_to(zml, zl.shape))
-    z = jax.lax.bitcast_convert_type(sf.f64_to_f32_rne(ch, cl), jnp.float32)
+    z32 = jax.lax.bitcast_convert_type(sf.f64_to_f32_rne(zh, zl), jnp.float32)
+    # clamp AFTER narrowing: zMax is an exact f32 wire value and RNE is
+    # monotone, so (float)min(z, zMax) == min((float)z, zMax) bit-for-bit;
+    # the where keeps std::min's exact tie/NaN pick (z on ties, z if NaN)
+    z = jnp.where(zmax_f32_r < z32, zmax_f32_r, z32)
     return z, (zh, zl), jnp.all(ok)
 
 
@@ -667,8 +667,6 @@ def decode_tiles(
                         sf_pair[0])
         a_l = jnp.where(m8 == 3, jnp.broadcast_to(offl[:, None], sf_pair[1].shape),
                         sf_pair[1])
-        zmh, zml = sf.f32_to_f64_bits(
-            jax.lax.bitcast_convert_type(zmax_rr, jnp.uint32))
         sh = (n_blocks, d, BS)
         sh1 = (n_blocks, d, 1)
         xs = (
@@ -678,20 +676,20 @@ def decode_tiles(
             is_diff.reshape(sh1).transpose(1, 0, 2),
             (m8 == 2).reshape(sh1).transpose(1, 0, 2),
             write.reshape(sh).transpose(1, 0, 2),
-            zmh.reshape(sh1).transpose(1, 0, 2),
-            zml.reshape(sh1).transpose(1, 0, 2),
+            zmax_rr.reshape(sh1).transpose(1, 0, 2),
         )
 
         def step(carry, x):
             prev, okc = carry
-            z_nd, ah, al, dif, is_c2, wr, zmh_, zml_ = x
+            z_nd, ah, al, dif, is_c2, wr, zm_ = x
             ph, pl = sf.f32_to_f64_bits(
                 jax.lax.bitcast_convert_type(prev, jnp.uint32))
             th, tl, ok_a = sf.add_f64(ah, al, ph, pl)
-            ch, cl = sf.min_f64(th, tl, jnp.broadcast_to(zmh_, th.shape),
-                                jnp.broadcast_to(zml_, tl.shape))
-            z_df = jax.lax.bitcast_convert_type(
-                sf.f64_to_f32_rne(ch, cl), jnp.float32)
+            t32 = jax.lax.bitcast_convert_type(
+                sf.f64_to_f32_rne(th, tl), jnp.float32)
+            # clamp after narrowing (see _exact_f32_scale_back: zMax is an
+            # exact f32, RNE is monotone, ties keep the z operand)
+            z_df = jnp.where(zm_ < t32, jnp.broadcast_to(zm_, t32.shape), t32)
             z_df = jnp.where(is_c2, prev, z_df)
             out = jnp.where(dif, jnp.where(wr, z_df, 0), z_nd)
             # only diff records' adds can trip ok (others are discarded)
