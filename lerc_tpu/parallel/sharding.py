@@ -82,6 +82,9 @@ def _encode_tiles_sharded(
         )
         n_valid = mask.sum().astype(jnp.int32)
         if try_16 and (tile_h > 8 or tile_w > 8):
+            # _f16 is statically True here: the UNCAPPED encoder sizes its
+            # 16x16 pack for nb <= 31 (always_fits; the 11-bit limit is the
+            # DECODE window's -- wider chosen tiles host-decode, wire valid)
             s16, t16, _z1, _z2, st16, _f16 = device_encode.encode_tiles(
                 tile, mask, max_z_error, tile_h, tile_w, d, dt, False, version,
                 cap, enable_lut=True, mb=16,
