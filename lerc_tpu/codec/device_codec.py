@@ -15,9 +15,10 @@ native lengths-only scan for FOREIGN blobs, so reference-encoded 8-bit
 and lossless-float blobs decode device-parallel too -- lossy f64 tiling
 via exact softfloat dequant, lossy f32 tiling BIT-EXACT via the same
 softfloat kernels (double ScaleBack + RNE narrow, Lerc2.h:381-399), and
-depth-diff records for every dtype but DOUBLE (lax.scan over depth);
-fpl is mask-oblivious so masked blobs take the same pipeline. Remaining
-host corners: pre-v6 lossless f64, one-sweep, f64 depth-diff.
+depth-diff records for EVERY dtype (lax.scan over depth; f64 chains run
+entirely in softfloat pairs); fpl is mask-oblivious so masked blobs take
+the same pipeline. Remaining host corners: pre-v6 lossless f64 and
+one-sweep (both plain memcpy shapes).
 """
 from __future__ import annotations
 
@@ -791,7 +792,7 @@ def _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
         return None
     inv_limbs, inv_bexp = dec
     offs = recs["offset"]
-    used = np.isin(recs["mode"], (1, 3, 4))
+    used = np.isin(recs["mode"] % 8, (1, 3, 4))
     offs_used = offs[used]
     if not (np.isfinite(offs_used).all()
             and ((offs_used == 0) | (np.abs(offs_used) >= _DBL_MIN)).all()):
@@ -951,8 +952,8 @@ def decode_band_device(
 
     zmax_src = out.z_max_vec if out.z_max_vec is not None else np.full(d, head.z_max)
     if head.dt == DataType.DOUBLE:
-        if has_diff:
-            return None  # f64 depth-diff needs softfloat adds: host path
+        # depth-diff included (r4): the f64 tile decoder resolves the
+        # slice chain with softfloat adds in a lax.scan
         img = _decode_f64_tiles_device(stream_np, recs, mask, head, zmax_src,
                                        has_lut, h, w, d)
         if img is None:

@@ -84,6 +84,7 @@ int64_t lerc_tile_scan(
       if (pos >= buf_len) return -1;
       const uint8_t flag = buf[pos++];
       const bool bdiff = (version >= 5) && (flag & 4);
+      if (bdiff && d == 0) return -1;  // Lerc2.cpp:2048: diff needs iDepth>0
       if (((flag >> 2) & pattern) != ((j0s[b] >> 3) & pattern)) return -1;
       const int code = flag & 3;
       const int bits67 = flag >> 6;

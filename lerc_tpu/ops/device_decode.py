@@ -760,7 +760,7 @@ def decode_tiles_f64(
     )
     area = in_img.sum(axis=1).astype(jnp.int32)
     area_r = jnp.repeat(area, d)
-    fill_all = (mode == 1) | (mode == 4)
+    fill_all = (mode % 8 == 1) | (mode % 8 == 4)
     use_all = fill_all & (num_elements == area_r)
 
     vb_r = jnp.repeat(vb, d, axis=0) if d > 1 else vb
@@ -778,7 +778,7 @@ def decode_tiles_f64(
             [jnp.zeros((n_rec, 1), jnp.uint32), lut_vals[:, :255]], axis=1
         )
         q_lut = jnp.take_along_axis(lut_full, jnp.clip(idx, 0, 255).astype(jnp.int32), axis=1)
-        q = jnp.where(mode[:, None] == 4, q_lut, q)
+        q = jnp.where(mode[:, None] % 8 == 4, q_lut, q)
     qv = jnp.take_along_axis(q, rank, axis=1)
 
     # ---- softfloat dequant: z = min(offset + qv * invScale, zmax)
@@ -790,6 +790,7 @@ def decode_tiles_f64(
     )
     zmh = jnp.tile(zmax_hi, n_blocks)[:, None]
     zml = jnp.tile(zmax_lo, n_blocks)[:, None]
+    pre_h, pre_l = zh, zl  # pre-clamp sum: the depth-diff chain adds prev
     zh, zl = sf.min_f64(zh, zl, jnp.broadcast_to(zmh, zh.shape),
                         jnp.broadcast_to(zml, zl.shape))
 
@@ -802,7 +803,7 @@ def decode_tiles_f64(
         raw_lo = raw_lo | stream_u32[jnp.clip(b0 + i, 0, smax)] << jnp.uint32(8 * i)
         raw_hi = raw_hi | stream_u32[jnp.clip(b0 + 4 + i, 0, smax)] << jnp.uint32(8 * i)
 
-    m8 = mode[:, None]
+    m8 = mode[:, None] % 8
     stuffed = (m8 == 1) | (m8 == 4)
     out_hi = jnp.where(
         m8 == 0, raw_hi,
@@ -816,6 +817,60 @@ def decode_tiles_f64(
     out_hi = jnp.where(write, out_hi, 0)
     out_lo = jnp.where(write, out_lo, 0)
     ok = jnp.all(addok | ~(stuffed & write))
+
+    # ---- depth-diff records (v5+, mode bit 3): slice d = f(slice d-1),
+    # resolved by a lax.scan exactly like the f32 branch of decode_tiles
+    # but with no narrowing -- z = a + prev (one f64 rounding) then
+    # min(z, zMax), matching ReadTile's double loops (Lerc2.cpp:2150-2199).
+    # Raw records can't be diff (the reference rejects comprFlag==0 with
+    # bDiff); flag them not-ok so callers route to the host decoder.
+    if d > 1:
+        is_diff = (mode >= 8)[:, None]
+        ok = ok & ~jnp.any(is_diff & (m8 == 0))
+        a_h = jnp.where(m8 == 3, jnp.broadcast_to(oh2, zh.shape), pre_h)
+        a_l = jnp.where(m8 == 3, jnp.broadcast_to(ol2, zl.shape), pre_l)
+        a_h = jnp.where(stuffed | (m8 == 3), a_h, 0)  # zero-pair elsewhere
+        a_l = jnp.where(stuffed | (m8 == 3), a_l, 0)
+        zmh2 = jnp.tile(zmax_hi, n_blocks)[:, None]
+        zml2 = jnp.tile(zmax_lo, n_blocks)[:, None]
+        shp = (n_blocks, d, BS)
+        sh1 = (n_blocks, d, 1)
+        xs = (
+            out_hi.reshape(shp).transpose(1, 0, 2),
+            out_lo.reshape(shp).transpose(1, 0, 2),
+            a_h.reshape(shp).transpose(1, 0, 2),
+            a_l.reshape(shp).transpose(1, 0, 2),
+            is_diff.reshape(sh1).transpose(1, 0, 2),
+            (m8 == 2).reshape(sh1).transpose(1, 0, 2),
+            write.reshape(shp).transpose(1, 0, 2),
+            zmh2.reshape(sh1).transpose(1, 0, 2),
+            zml2.reshape(sh1).transpose(1, 0, 2),
+        )
+
+        def step(carry, x):
+            ph_, pl_, okc = carry
+            z_h, z_l, ah_, al_, dif, is_c2, wr, zmh_, zml_ = x
+            th, tl, ok_a = sf.add_f64(ah_, al_, ph_, pl_)
+            ch, cl = sf.min_f64(th, tl, jnp.broadcast_to(zmh_, th.shape),
+                                jnp.broadcast_to(zml_, tl.shape))
+            dh = jnp.where(is_c2, ph_, ch)
+            dl = jnp.where(is_c2, pl_, cl)
+            o_h = jnp.where(dif, jnp.where(wr, dh, 0), z_h)
+            o_l = jnp.where(dif, jnp.where(wr, dl, 0), z_l)
+            # a raw previous slice can hold subnormal/inf/NaN doubles,
+            # outside add_f64's zero-or-normal contract: flag, host path
+            pe = (ph_ >> jnp.uint32(20)) & jnp.uint32(0x7FF)
+            p_bad = ((pe == 0) & (((ph_ & jnp.uint32(0xFFFFF)) | pl_) != 0)
+                     ) | (pe == 0x7FF)
+            okc = okc & jnp.all((ok_a & ~p_bad) | ~(dif & ~is_c2))
+            return (o_h, o_l, okc), (o_h, o_l)
+
+        zero = jnp.zeros((n_blocks, BS), jnp.uint32)
+        (_, _, ok_d), (hs, ls) = jax.lax.scan(
+            step, (zero, zero, jnp.bool_(True)), xs)
+        ok = ok & ok_d
+        out_hi = hs.transpose(1, 0, 2).reshape(n_rec, BS)
+        out_lo = ls.transpose(1, 0, 2).reshape(n_rec, BS)
 
     def assemble(vals):
         blocks = vals.reshape(n_blocks, d, BS).transpose(0, 2, 1)

@@ -148,3 +148,70 @@ def test_differential_soak_short():
     )
     assert out.returncode == 0, (out.stdout[-1500:], out.stderr[-1500:])
     assert "soak clean" in out.stdout
+
+
+def test_diff_flag_mutation_differential():
+    """Decoder-only surface: no compliant encoder emits depth-diff for
+    FLOAT/DOUBLE (Lerc2.cpp:1495 gates bTryDiffEnc on int lossless), but
+    the reference DECODER accepts it for every dtype (ReadTile's bDiff
+    branches). Force it: set comprFlag bit 2 (the diff bit) on early
+    stream bytes of nDepth=3 float32/float64 blobs, re-fix the Fletcher32,
+    and require the reference, host, and device decoders to agree
+    BIT-FOR-BIT on every mutant all three accept -- this walks the f32
+    softfloat diff scan and the r4 f64 diff scan with real wire bytes."""
+    from lerc_tpu.codec import fletcher32, header as hdr
+    from lerc_tpu.codec.device_codec import decode_band_device
+    from lerc_tpu.codec.orchestrator import decode_blob
+    from lerc_tpu import native
+
+    if not oracle.available():
+        pytest.skip("reference lib not built")
+
+    rng = np.random.default_rng(21)
+    h, w, d = 32, 40, 3
+    base = (400 * np.sin(np.linspace(0, 6, w))[None, :, None]
+            * np.cos(np.linspace(0, 4, h))[:, None, None])
+    data = np.ascontiguousarray(
+        base + np.cumsum(rng.standard_normal((h, w, d)), axis=2))
+
+    nbv, nbh = h // 8, w // 8
+    cnts = np.full(nbv * nbh, 64, np.int32)
+    j0s = ((np.arange(nbv * nbh) % nbh) * 8).astype(np.int32)
+    checked = agreed = diff_hits = 0
+    for dt in (np.float32, np.float64):
+        blob = oracle.encode(data.astype(dt), d, w, h, 1, None, 0.01)
+        head, pos = hdr.read_header(memoryview(blob))
+        skip = hdr.checksum_skip(head.version)
+        # stream area: mask-length word + ranges + the one-sweep byte
+        body0 = pos + 4 + 2 * d * np.dtype(dt).itemsize + 1
+        for p in range(body0, min(body0 + 400, len(blob))):
+            if blob[p] & 4:
+                continue
+            buf = bytearray(blob)
+            buf[p] |= 4
+            cs = fletcher32.fletcher32(bytes(buf[skip:head.blob_size]))
+            buf[10:14] = int(cs).to_bytes(4, "little")
+            mut = bytes(buf)
+            try:
+                ref = oracle.decode(mut)
+            except Exception:
+                continue  # reference rejects this mutant: nothing to compare
+            checked += 1
+            stream = np.frombuffer(mut, np.uint8)[body0:]
+            recs, _ = native.tile_scan(stream, cnts, j0s, nbv * nbh, d,
+                                       int(head.dt), head.version)
+            if (recs["mode"] >= 8).any():
+                diff_hits += 1
+            host = decode_blob(mut)
+            np.testing.assert_array_equal(
+                host.data[0], ref[0].reshape(h, w, d),
+                err_msg=f"host != reference at byte {p} ({dt.__name__})")
+            dev = decode_band_device(np.frombuffer(mut, np.uint8))
+            if dev is not None:
+                np.testing.assert_array_equal(
+                    dev.data, ref[0].reshape(h, w, d),
+                    err_msg=f"device != reference at byte {p} ({dt.__name__})")
+                agreed += 1
+    # the test must actually exercise reference-ACCEPTED diff records
+    # through the device softfloat diff scans (f32 narrow + f64 pairs)
+    assert diff_hits >= 2 and agreed >= diff_hits, (checked, agreed, diff_hits)
