@@ -17,11 +17,17 @@ outlived the driver's wall clock, and a KILLED compile wedges the tunnel
 for every later client (never subprocess-timeout a TPU compile):
   1. the fast-compiling uncapped kernels (~15 s) run FIRST and bank a
      complete result;
-  2. the slow-compiling nb_cap=16 static-chain headline upgrade (~2-3
-     min extra compile, ~3x throughput) is attempted only while the
-     self-imposed deadline (LERC_BENCH_DEADLINE, default 420 s) leaves
-     room, checked BETWEEN compiles -- a started compile always runs to
-     completion. Set LERC_BENCH_FAST=1 to skip the upgrade entirely.
+  2. the masked pass is banked NEXT (before any upgrade attempt): the r4
+     driver artifact recorded masked 0.0 because the masked pass sat
+     behind the nb16 upgrade and a blanket headroom constant
+     (VERDICT r4 weak #1);
+  3. the slow-compiling nb_cap=16 static-chain headline upgrade (~2-3
+     min extra compile cold, ~1 s from .jax_cache, ~3x throughput) runs
+     last. Every gate estimates the ACTUAL compile cost from observed
+     phase-1 compile times (cache_is_warm) instead of assuming cold,
+     and is checked BETWEEN compiles -- a started compile always runs
+     to completion. Deadline: LERC_BENCH_DEADLINE (default 420 s); set
+     LERC_BENCH_FAST=1 to skip the upgrade entirely.
 
 Timing note: on this platform jax.block_until_ready does not actually wait
 (async tunnel), so each timed phase fetches a small dependent output to
@@ -131,6 +137,21 @@ def time_phases(codec, tiles, rounds, chain):
     return best_enc, best_dec, outs, decs
 
 
+COMPILE_TIMES = []  # host-side trace+compile seconds, appended per jit
+
+
+def cache_is_warm():
+    """True when the observed compiles hit .jax_cache (~seconds). The r4
+    driver run skipped the nb16 upgrade AND the masked pass because the
+    headroom gates assumed COLD 3-minute compiles even while the same log
+    showed "compiled in 1s" — the gates never probed warmth (VERDICT r4
+    weak #1). Compile time is the direct probe: the jitted call itself
+    blocks through trace+compile (dispatch is async), so phase 1's
+    observed times tell us what every later compile of the same family
+    will cost."""
+    return bool(COMPILE_TIMES) and max(COMPILE_TIMES) < 20.0
+
+
 def bench_ours(tiles, nb_cap, rounds=4):
     """Returns (enc_s, dec_s, blob_bytes) per full-DEM pass, or None when
     nb_cap doesn't cover the data (caller falls back)."""
@@ -138,15 +159,20 @@ def bench_ours(tiles, nb_cap, rounds=4):
                                nb_cap=nb_cap)
     t0 = time.perf_counter()
     out0 = codec._encode_fused(tiles[0])
+    t_compile = time.perf_counter() - t0
+    COMPILE_TIMES.append(t_compile)
     fits = bool(np.asarray(out0[2])[2])
-    log(f"nb_cap={nb_cap}: encode compiled in {time.perf_counter()-t0:.0f}s")
+    log(f"nb_cap={nb_cap}: encode compiled in {t_compile:.0f}s "
+        f"(first fence +{time.perf_counter()-t0-t_compile:.0f}s)")
     if nb_cap and not fits:
         log(f"nb_cap={nb_cap} insufficient for this data")
         return None
     t0 = time.perf_counter()
     dec0 = codec._decode_fused_fast(out0[0], out0[1], out0[3])
+    t_compile = time.perf_counter() - t0
+    COMPILE_TIMES.append(t_compile)
     np.asarray(dec0[1])
-    log(f"nb_cap={nb_cap}: decode compiled in {time.perf_counter()-t0:.0f}s")
+    log(f"nb_cap={nb_cap}: decode compiled in {t_compile:.0f}s")
 
     enc, dec, outs, decs = time_phases(codec, tiles, rounds, chain=10)
     metas_h = np.stack([np.asarray(o[2]) for o in outs])
@@ -184,6 +210,7 @@ def bench_masked(tiles, nb_cap, rounds=3):
     codec = _masked_codec(nb_cap)
     t0 = time.perf_counter()
     out = codec._encode_fused(tile)
+    COMPILE_TIMES.append(time.perf_counter() - t0)
     fits = bool(np.asarray(out[2])[2])
     log(f"masked nb_cap={nb_cap}: encode compiled in {time.perf_counter()-t0:.0f}s")
     if nb_cap and not fits:
@@ -246,7 +273,16 @@ def bench_reference(tiles, rounds=4):
 def bench_foreign_decode(ref_blob, tiles, rounds=3):
     """Interop path (VERDICT r3 item 6): device-decode a blob the
     REFERENCE encoded (no sidecar index -- native lengths-only scan
-    rebuilds the record offsets). Returns MB/s or None."""
+    rebuilds the record offsets). Returns (end_to_end_MBps, device_MBps)
+    or None.
+
+    Two figures because end-to-end includes the full 16 MB raster egress
+    to host numpy, and over this environment's tunnel that transfer runs
+    ~13 MB/s — the end-to-end number is transfer-bound, not kernel-bound
+    (VERDICT r4 item 5 flagged it as misleading next to the reference's
+    CPU figure). device_MBps times the identical call with
+    return_device=True: native record scan + device decode + a dependent
+    scalar fence, no raster egress — the kernel-side throughput."""
     try:
         from lerc_tpu.codec.device_codec import decode_band_device
     except Exception:
@@ -262,7 +298,14 @@ def bench_foreign_decode(ref_blob, tiles, rounds=3):
     ref_tile = np.asarray(tiles)[0, :, :, 0]
     err = float(np.abs(out.data[:, :, 0] - ref_tile).max())
     assert err <= MAX_Z_ERROR * 1.1, f"foreign decode error bound: {err}"
-    return round(TILE * TILE * 4 / 1e6 / best, 1)
+    mb = TILE * TILE * 4 / 1e6
+    best_dev = np.inf
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        dev = decode_band_device(ref_blob, return_device=True)
+        np.asarray(dev.data[0, 0, 0])  # dependent scalar fences the queue
+        best_dev = min(best_dev, time.perf_counter() - t0)
+    return round(mb / best, 1), round(mb / best_dev, 1)
 
 
 def _require_backend(timeout_s: float | None = None):
@@ -299,56 +342,95 @@ def _require_backend(timeout_s: float | None = None):
     log(f"backend ready: {devs[0]}")
 
 
+def _fetch_watchdog(fn, what, bound_s=None):
+    """Run a blocking device fetch in a thread, logging every 15 s so a
+    stalled first dispatch is VISIBLE in the driver log (the r4 run
+    silently burned 233 s before "tiles ready"; VERDICT r4 weak #1c) and
+    BOUNDED: past `bound_s` (default LERC_BENCH_DISPATCH_WAIT, 600 s)
+    print an explicit-error JSON line and exit 7 rather than hang into
+    the driver's hard kill. Returns the fetched value."""
+    import threading
+
+    if bound_s is None:
+        bound_s = float(os.environ.get("LERC_BENCH_DISPATCH_WAIT", "600"))
+    box = []
+    t = threading.Thread(target=lambda: box.append(fn()), daemon=True)
+    t.start()
+    waited = 0.0
+    while not box and waited < bound_s:
+        t.join(15.0)
+        waited += 15.0
+        if not box:
+            log(f"waiting on {what} ({waited:.0f}s)... tunnel stall?")
+    if not box:
+        print(json.dumps({
+            "metric": "encode+decode MB/s/chip",
+            "value": 0.0, "unit": "MB/s", "vs_baseline": 0.0,
+            "error": f"{what} did not complete in {bound_s:.0f}s "
+                     "(tunnel stall) -- no measurement taken",
+        }), flush=True)
+        log(f"FATAL: {what} stalled past {bound_s:.0f}s")
+        os._exit(7)
+    return box[0]
+
+
+def _gate(name, cold_s, margin_s=45.0, warm_s=30.0):
+    """Headroom gate that probes cache warmth instead of assuming cold
+    compiles (the r4 blanket constants skipped nb16 AND masked while the
+    same log showed 1 s cache-hit compiles). `cold_s`/`warm_s` estimate
+    the step's compile+measure cost; `margin_s` protects the final JSON
+    emission."""
+    est = warm_s if cache_is_warm() else cold_s
+    headroom = DEADLINE_S - (time.perf_counter() - T0)
+    ok = headroom > est + margin_s
+    log(f"gate {name}: est {est:.0f}s (warm={cache_is_warm()}), "
+        f"headroom {headroom:.0f}s -> {'RUN' if ok else 'SKIP'}")
+    return ok
+
+
 def main():
     total_mb = TILE * TILE * N_TILES * 4 / 1e6
     _require_backend()
     tiles = make_tiles()
-    np.asarray(tiles[0, 0, 0, 0])
+    _fetch_watchdog(lambda: np.asarray(tiles[0, 0, 0, 0]), "first dispatch (tiles)")
     log("tiles ready")
 
-    # Phase 1 -- fast-compiling uncapped kernels: bank a complete result.
+    # Phase 1 -- fast-compiling uncapped kernels: bank a complete result
+    # (and seed COMPILE_TIMES, the cache-warmth probe for every gate).
     enc, dec, blob_bytes = bench_ours(tiles, 0)
     log(f"uncapped: enc {total_mb/enc:.0f} MB/s, dec {total_mb/dec:.0f} MB/s")
 
     ref = bench_reference(tiles)
 
-    # Phase 2 -- nb_cap=16 static-chain headline upgrade, while the
-    # deadline allows (each compile runs to completion once started;
-    # the check sits BETWEEN steps). The masked bench runs nb16-first:
-    # only when the upgrade is skipped or fails does the uncapped masked
-    # pass run (it cold-compiles for ~3 min; skipping it on the warm
-    # path keeps the whole run inside the driver budget).
-    masked = None
-    elapsed = time.perf_counter() - T0
-    if not FAST_ONLY and elapsed < DEADLINE_S - 240:
-        log("attempting nb_cap=16 upgrade")
+    # Phase 2 -- bank the masked pass BEFORE any upgrade attempt
+    # (VERDICT r4 item 1b: the r4 artifact shipped masked 0.0 because
+    # masked sat behind the nb16 gate). nb16-first; bench_masked falls
+    # back to the uncapped kernels internally when nb16 doesn't fit.
+    masked, masked_error = None, None
+    if _gate("masked", cold_s=220):
+        try:
+            masked = bench_masked(tiles, 16 if not FAST_ONLY else 0)
+        except Exception as e:
+            masked_error = f"masked bench failed: {e!r}"
+            log(masked_error)
+    if masked is None:
+        if masked_error is None:
+            masked_error = "skipped: no deadline headroom for cold masked compile"
+            log(f"masked bench {masked_error}")
+        masked = (0.0, 0.0, -1)
+
+    # Phase 3 -- nb_cap=16 static-chain headline upgrade.
+    if not FAST_ONLY and _gate("nb16 upgrade", cold_s=260):
         try:
             up = bench_ours(tiles, 16)
             if up is not None:
                 enc, dec, blob_bytes = up
                 log(f"nb16: enc {total_mb/enc:.0f} MB/s, dec {total_mb/dec:.0f} MB/s")
-                if time.perf_counter() - T0 < DEADLINE_S - 180:
-                    masked = bench_masked(tiles, 16)  # falls back when unfit
         except Exception as e:  # never lose the banked result
             log(f"nb16 upgrade failed: {e!r}")
-    else:
-        log(f"skipping nb16 upgrade (elapsed {elapsed:.0f}s, FAST={FAST_ONLY})")
-    masked_error = None
-    if masked is None:
-        # Safety net: masked keys are always emitted -- but a COLD masked
-        # compile (~3 min) must not start past the budget (ADVICE r3
-        # medium). Warm (memoized codec from an internal fallback, or a
-        # cache hit) is cheap; cold only runs with >=200 s of headroom.
-        if 0 in _masked_codecs or time.perf_counter() - T0 < DEADLINE_S - 200:
-            masked = bench_masked(tiles, 0)
-        else:
-            masked_error = "skipped: no deadline headroom for cold masked compile"
-            masked = (0.0, 0.0, -1)
-            log(f"masked bench {masked_error}")
 
     foreign = None
-    if ref is not None and (time.perf_counter() - T0 < DEADLINE_S - 60
-                            or FAST_ONLY):
+    if ref is not None and _gate("foreign decode", cold_s=90, margin_s=30):
         try:
             foreign = bench_foreign_decode(ref[2], tiles)
         except Exception as e:
@@ -368,7 +450,13 @@ def main():
             "ratio_vs_ref": round(blob_bytes / ref_bytes, 3),
         }
         if foreign is not None:
-            extra["foreign_decode_MBps"] = foreign
+            extra["foreign_decode_MBps"] = foreign[0]
+            extra["foreign_decode_device_MBps"] = foreign[1]
+            extra["foreign_decode_note"] = (
+                "end-to-end includes the full raster egress to host numpy; "
+                "over this environment's device tunnel that transfer is the "
+                "bound (~13 MB/s), not the decode kernels -- see the "
+                "device-only figure")
     else:
         baseline = PUBLISHED_BASELINE_MBS
         extra = {}
