@@ -16,6 +16,29 @@ import struct
 
 import numpy as np
 
+# ---- sim-drift tripwire (VERDICT r4 weak #6): the "statement-exact twin"
+# premise silently rots if LercDecode.cs is edited without a matching sim
+# edit. Pin the binding's content hash; conformance tests verify it BEFORE
+# any decode runs. After editing BOTH files, refresh with:
+#   sha256sum bindings/csharp/LercDecode.cs
+PINNED_BINDING_SHA256 = "235b6b95c23ed4be10b92e131153c8af1c078bdcaa43b0a404660006d01258c0"
+
+
+def check_binding_in_sync():
+    """Raise if LercDecode.cs changed since this sim was last synchronized."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LercDecode.cs")
+    actual = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if actual != PINNED_BINDING_SHA256:
+        raise AssertionError(
+            f"bindings/csharp/LercDecode.cs hash {actual} != pinned "
+            f"{PINNED_BINDING_SHA256}: LercDecode.cs was edited without "
+            "updating cs_sim.py. Port the change to the sim "
+            "(statement-for-statement), then refresh PINNED_BINDING_SHA256."
+        )
+
 OK = 0
 FAILED = 1
 WRONG_PARAM = 2

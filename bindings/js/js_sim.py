@@ -20,6 +20,29 @@ import struct
 
 import numpy as np
 
+# ---- sim-drift tripwire (VERDICT r4 weak #6): the "statement-exact twin"
+# premise silently rots if lerc.js is edited without a matching sim edit.
+# Pin the binding's content hash; conformance tests verify it BEFORE any
+# decode runs. After editing BOTH files, refresh with:
+#   sha256sum bindings/js/lerc.js
+PINNED_BINDING_SHA256 = "d7b8a76aaac79ea207f7e487129acb2d53a35f1cbc2ee091042ba6c7e1678429"
+
+
+def check_binding_in_sync():
+    """Raise if lerc.js changed since this sim was last synchronized."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "lerc.js")
+    actual = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if actual != PINNED_BINDING_SHA256:
+        raise AssertionError(
+            f"bindings/js/lerc.js hash {actual} != pinned "
+            f"{PINNED_BINDING_SHA256}: lerc.js was edited without updating "
+            "js_sim.py. Port the change to the sim (statement-for-statement), "
+            "then refresh PINNED_BINDING_SHA256."
+        )
+
 FILE_KEY_LERC2 = b"Lerc2 "
 FILE_KEY_LERC1 = b"CntZImage "
 

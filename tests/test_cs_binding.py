@@ -17,6 +17,11 @@ from . import oracle
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "bindings" / "csharp"))
 import cs_sim  # noqa: E402
 
+# Sim-drift tripwire (VERDICT r4 weak #6): an edit to LercDecode.cs without
+# a matching cs_sim.py edit must fail here, at collection, BEFORE any
+# decode runs -- otherwise the "statement-exact twin" premise silently rots.
+cs_sim.check_binding_in_sync()
+
 pytestmark = pytest.mark.skipif(not oracle.available(), reason="reference lib not built")
 
 H, W = 67, 83
