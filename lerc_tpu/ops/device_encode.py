@@ -361,12 +361,23 @@ def _compact_by_rank(vals, rank, valid, width: int):
     return make_compactor(valid)(vals)[0]
 
 
-def _lut_candidate(cq, cnt, nb, n_blocks, pw: int, pack=_pack_words):
-    """Per-block LUT-mode candidate (BitStuffer2::EncodeLut semantics,
-    BitStuffer2.cpp:79-153): sorted distinct nonzero values bit-stuffed at
-    nb bits, then per-value indices at bitlen(nLut) bits; index 0 denotes
-    value 0. Returns (use-able mask pieces, payload words, lut_len)."""
-    srt = jnp.sort(cq, axis=1)
+def _lut_candidate_pre(vals, nb, n_blocks, pw: int, pack=_pack_words):
+    """Per-block LUT-mode candidate, SORT side (BitStuffer2::EncodeLut
+    semantics, BitStuffer2.cpp:79-153): sorted distinct nonzero values
+    bit-stuffed at nb bits.
+
+    Everything here is MULTISET-invariant to valid-compaction: `vals`
+    may be the compacted stream (cq) or the position-space blocks with
+    invalid lanes zeroed (q) -- both hold the same per-block multiset
+    (valid values + zeros), so srt/occ/n_lut/lut_vals come out identical.
+    Feeding q keeps the sort, the distinct-value machinery, and the
+    lut_vals compactor (a whole second make_compactor) OFF the main
+    valid-compaction barrier so XLA overlaps them with the roll chain
+    (round-5 masked-encode fix). The le-matrix/index side stays in
+    compacted space (part 2) -- routing idx through the compactor was
+    measured SLOWER in r4 (9.5 -> 11.8 ms).
+    Returns (n_lut, nbits_lut, lutpk, lut_bytes, srt, occ, zero_present)."""
+    srt = jnp.sort(vals, axis=1)
     prev = jnp.concatenate(
         [jnp.full((n_blocks, 1), 0xFFFFFFFF, jnp.uint32), srt[:, :-1]], axis=1
     )
@@ -376,22 +387,29 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int, pack=_pack_words):
     n_lut = occ_nz.sum(axis=1).astype(jnp.int32)
     nbits_lut = _bit_len(n_lut.astype(jnp.uint32))
 
-    # index of each value: #distinct <= v, minus 1 iff 0 is in the set
-    bs = cq.shape[1]
-    le = (srt[:, None, :] <= cq[:, :, None]) & occ[:, None, :]
+    rank_nz = jnp.cumsum(occ_nz, axis=1).astype(jnp.int32) - 1
+    lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, vals.shape[1])
+    lutpk = pack(lut_vals, nb, n_blocks, pw)
+    lut_bytes = (n_lut * nb + 7) // 8
+    return n_lut, nbits_lut, lutpk, lut_bytes, srt, occ, zero_present
+
+
+def _lut_candidate_post(srt, occ, zero_present, cvals, cnt, n_lut, nbits_lut,
+                        lutpk, lut_bytes, n_blocks, pw: int, pack=_pack_words):
+    """LUT candidate, INDEX side: per-lane index of each compacted value
+    (#distinct <= v, minus 1 iff 0 is in the set; index 0 denotes value
+    0), packed at bitlen(nLut) bits, then the [nLut+1][lut stream][idx
+    stream] payload composed at word level. `cvals` is the compacted
+    value stream (the merged compaction output: == cq on every block
+    that can select LUT mode). Returns payload words."""
+    bs = cvals.shape[1]
+    le = (srt[:, None, :] <= cvals[:, :, None]) & occ[:, None, :]
     idx = le.sum(axis=2).astype(jnp.int32) - zero_present[:, None]
     pos = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32), (n_blocks, bs))
     idx = jnp.where(pos < cnt[:, None], jnp.maximum(idx, 0), 0).astype(jnp.uint32)
-
-    rank_nz = jnp.cumsum(occ_nz, axis=1).astype(jnp.int32) - 1
-    lut_vals = _compact_by_rank(srt, rank_nz, occ_nz, bs)
-    lutpk = pack(lut_vals, nb, n_blocks, pw)
     # nbits_lut <= bitlen(n_lut) <= 8 for 16x16 blocks (n_lut < 255), 6 for 8x8
     pw_idx = (bs * (8 if bs > 64 else 6) + 31) // 32 + 1
     idxpk = pack(idx, nbits_lut, n_blocks, pw_idx)
-
-    lut_bytes = (n_lut * nb + 7) // 8
-    idx_bytes = (cnt * nbits_lut + 7) // 8
 
     # payload: [nLut+1][lut stream][idx stream]; compose at word level
     lw = _shift_words_1b(lutpk, 1)  # lut stream at byte 1
@@ -414,9 +432,7 @@ def _lut_candidate(cq, cnt, nb, n_blocks, pw: int, pack=_pack_words):
     lane = (ib >> 2)[:, None]
     for b in range(width.bit_length() - 1):  # word-level roll to the lut end
         idxp = jnp.where((lane >> b) & 1 == 1, jnp.roll(idxp, 1 << b, axis=1), idxp)
-    payload = lwp | idxp
-    lut_len_payload = 1 + lut_bytes + idx_bytes
-    return n_lut, payload, lut_len_payload
+    return lwp | idxp
 
 
 @functools.partial(
@@ -571,13 +587,17 @@ def encode_tiles(
             xu = xb.astype(jnp.int32).astype(jnp.uint32)
         else:
             xu = jax.lax.bitcast_convert_type(xb.astype(jnp.float32), jnp.uint32)
-        if aligned_all_valid:
-            cq = q
-            cu = xu
-        else:
-            cq, cu = _compact_u32(q, jnp.where(vb, xu, 0))
+        xu_z = xu if aligned_all_valid else jnp.where(vb, xu, 0)
 
-        max_q = cq.max(axis=1)
+        # Mode selection runs in POSITION space: max/bit-width/lengths and
+        # the LUT sort side are multiset-invariant to compaction (invalid
+        # lanes are zero either way), so the mode of every block is known
+        # BEFORE compaction and only ONE merged array -- native words for
+        # raw-mode blocks, the selected quantized stream otherwise --
+        # rides the compaction roll chain (round 5: r4 compacted q AND xu,
+        # and the int depth-diff path a third array, plus the whole LUT
+        # candidate sat behind the compaction barrier).
+        max_q = q.max(axis=1)
         nb = _bit_len(max_q)
 
         # ---- mode selection (NumBytesTile semantics, no LUT)
@@ -596,23 +616,14 @@ def encode_tiles(
         stuff_len = 1 + off_w + jnp.where(max_q > 0, 1 + cw + stuff_bytes, 0)
         raw_len = 1 + cnt * size_t
 
-        # ---- packed payload words [nB, pw]
-        pk = pack(cq, nb, n_blocks, pw)
-
         if enable_lut:
-            # NOTE (r4, measured): computing the candidate from POSITION
-            # space (q + compact_idx) to unhook the sort/le-matrix from the
-            # compaction barrier made masked encode SLOWER (9.5 -> 11.8 ms
-            # per 2048^2 tile) -- the extra idx routing chain costs more
-            # than the serialization it avoids. Keep stream space.
-            n_lut, lut_payload, lut_payload_len = _lut_candidate(
-                cq, cnt, nb, n_blocks, pw, pack
-            )
-            lut_len = 2 + cw + off_w + lut_payload_len
+            (n_lut, nbits_lut, lutpk, lut_bytes, srt, occ,
+             zero_present) = _lut_candidate_pre(q, nb, n_blocks, pw, pack)
+            idx_bytes = (cnt * nbits_lut + 7) // 8
+            lut_len = 2 + cw + off_w + 1 + lut_bytes + idx_bytes
             use_lut = ((max_q > 0) & (n_lut >= 1) & (n_lut < 255)
                        & (lut_len < stuff_len))
             stuff_len = jnp.where(use_lut, lut_len, stuff_len)
-            pk = jnp.where(use_lut[:, None], lut_payload[:, :pw], pk)
         else:
             use_lut = jnp.zeros(n_blocks, bool)
 
@@ -621,45 +632,48 @@ def encode_tiles(
         # bit2 marks the diff). int32 arithmetic is exact for <= 16-bit
         # dtypes; INT/UINT diffs can overflow and keep absolute encoding.
         try_diff = is_int and d > 1 and version >= 5 and size_t <= 2
+        stuff_val = q
         if try_diff and di > 0:
             diffv = xi - prev_xi
             zmin_df = jnp.where(cnt > 0, jnp.where(vb, diffv, 2**30).min(axis=1), 0)
             zmax_df = jnp.where(cnt > 0, jnp.where(vb, diffv, -(2**30)).max(axis=1), 0)
             qd = jnp.where(vb, (diffv - zmin_df[:, None]).astype(jnp.uint32), 0)
-            if aligned_all_valid:
-                cqd = qd
-            else:
-                (cqd,) = _compact_u32(qd)
-            max_qd = cqd.max(axis=1)
+            max_qd = qd.max(axis=1)
             nbd = _bit_len(max_qd)
             tc_d, off_w_d = _reduce_offset_int(zmin_df, DataType.INT)
             off_word_d = _offset_word_int(zmin_df, off_w_d)
             stuff_bytes_d = (cnt * nbd + 7) // 8
             stuff_len_d = 1 + off_w_d + jnp.where(max_qd > 0, 1 + cw + stuff_bytes_d, 0)
-            pk_d = pack(cqd, nbd, n_blocks, pw)
             use_lut_d = jnp.zeros(n_blocks, bool)
             if enable_lut:
-                n_lut_d, lut_payload_d, lut_plen_d = _lut_candidate(
-                    cqd, cnt, nbd, n_blocks, pw, pack
-                )
-                lut_len_d = 2 + cw + off_w_d + lut_plen_d
+                (n_lut_d, nbits_lut_d, lutpk_d, lut_bytes_d, srt_d, occ_d,
+                 zp_d) = _lut_candidate_pre(qd, nbd, n_blocks, pw, pack)
+                idx_bytes_d = (cnt * nbits_lut_d + 7) // 8
+                lut_len_d = 2 + cw + off_w_d + 1 + lut_bytes_d + idx_bytes_d
                 use_lut_d = ((max_qd > 0) & (n_lut_d >= 1) & (n_lut_d < 255)
                              & (lut_len_d < stuff_len_d))
                 stuff_len_d = jnp.where(use_lut_d, lut_len_d, stuff_len_d)
-                pk_d = jnp.where(use_lut_d[:, None], lut_payload_d[:, :pw], pk_d)
             const0_d = (zmin_df == 0) & (zmax_df == 0)
             diff_len = jnp.where(const0_d, 1, stuff_len_d)
             use_diff = (int_lossless & (cnt > 0) & (~is_const0)
                         & (diff_len < stuff_len) & (diff_len < raw_len))
             is_const0 = is_const0 | (use_diff & const0_d)
             stuff_len = jnp.where(use_diff, stuff_len_d, stuff_len)
-            pk = jnp.where(use_diff[:, None], pk_d, pk)
             nb = jnp.where(use_diff, nbd, nb)
             max_q = jnp.where(use_diff, max_qd, max_q)
             tc = jnp.where(use_diff, tc_d, tc)
             off_w = jnp.where(use_diff, off_w_d, off_w)
             off_word = jnp.where(use_diff, off_word_d, off_word)
             use_lut = jnp.where(use_diff, use_lut_d, use_lut)
+            stuff_val = jnp.where(use_diff[:, None], qd, q)
+            if enable_lut:
+                n_lut = jnp.where(use_diff, n_lut_d, n_lut)
+                nbits_lut = jnp.where(use_diff, nbits_lut_d, nbits_lut)
+                lutpk = jnp.where(use_diff[:, None], lutpk_d, lutpk)
+                lut_bytes = jnp.where(use_diff, lut_bytes_d, lut_bytes)
+                srt = jnp.where(use_diff[:, None], srt_d, srt)
+                occ = jnp.where(use_diff[:, None], occ_d, occ)
+                zero_present = jnp.where(use_diff, zp_d, zero_present)
             diff_bit = use_diff.astype(jnp.uint32)
         else:
             diff_bit = jnp.zeros(n_blocks, jnp.uint32)
@@ -674,6 +688,24 @@ def encode_tiles(
         length = jnp.where(
             mode == 2, 1, jnp.where(mode == 0, raw_len, stuff_len)
         ).astype(jnp.int32)
+
+        # ---- ONE merged compaction; raw-mode blocks carry native words,
+        # every other mode the selected quantized stream (packed bits
+        # bleeding block-locally past nb for raw blocks are discarded by
+        # the record select below)
+        merged = jnp.where((mode == 0)[:, None], xu_z, stuff_val)
+        if aligned_all_valid:
+            c_merged = merged
+        else:
+            (c_merged,) = _compact_u32(merged)
+
+        # ---- packed payload words [nB, pw]
+        pk = pack(c_merged, nb, n_blocks, pw)
+        if enable_lut:
+            lut_payload = _lut_candidate_post(
+                srt, occ, zero_present, c_merged, cnt, n_lut, nbits_lut,
+                lutpk, lut_bytes, n_blocks, pw, pack)
+            pk = jnp.where(use_lut[:, None], lut_payload[:, :pw], pk)
 
         flag = (integ | (diff_bit << 2)
                 | jnp.where(mode == 0, 0, jnp.where(mode == 2, 2, jnp.where(max_q > 0, 1, 3)))
@@ -748,14 +780,15 @@ def encode_tiles(
             axis=1,
         )
 
-        # ---- raw payload words (compacted native u32 values, LE at byte 1)
+        # ---- raw payload words (compacted native u32 values, LE at byte 1;
+        # c_merged holds the compacted native words on raw-mode blocks)
         if size_t == 4:
-            rw = cu
+            rw = c_merged
         elif size_t == 2:
-            u = cu & 0xFFFF
+            u = c_merged & 0xFFFF
             rw = u[:, 0::2] | (u[:, 1::2] << 16)
         else:
-            u = cu & 0xFF
+            u = c_merged & 0xFF
             rw = u[:, 0::4] | (u[:, 1::4] << 8) | (u[:, 2::4] << 16) | (u[:, 3::4] << 24)
         nrw = rw.shape[1]
         rwp = jnp.concatenate(

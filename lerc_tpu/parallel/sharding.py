@@ -29,7 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import DataType, NUMPY_TO_DT, DT_SIZE, DT_TO_NUMPY
-from ..ops import device_decode, device_encode, device_softf64 as softf64
+from ..ops import (device_decode, device_encode, device_f64,
+                   device_softf64 as softf64)
 from ..codec import fletcher32, header as hdr
 
 MOSAIC_MAGIC = b"LercTpuMosaic1"
@@ -131,6 +132,35 @@ def _encode_tiles_sharded(
                    P(), P(), P(), P(), P(), P(), P("tiles")),
         check_vma=False,
     )(tiles, masks)
+
+
+def _encode_tiles_f64_sharded(hi, lo, bits, masks, mze_h, mze_l, mesh: Mesh,
+                              tile_h: int, tile_w: int, d: int,
+                              version: int, cap: int):
+    """Lossy float64 tile-grid encode over the mesh: per-tile double-single
+    kernels (device_f64.encode_tiles_f64 -- no LUT/16x16 by that wire's
+    design), sizes all-gathered so any process can lay out the container.
+    z ranges are computed host-side in exact f64 by the caller (the
+    double-single pmin/pmax would round through f32). Returns
+    (streams [T, cap] sharded, all_sizes [T] replicated, starts sharded)."""
+
+    def encode_one(th_, tl_, tb_, m_):
+        stream, total, starts = device_f64.encode_tiles_f64(
+            th_, tl_, tb_, m_, mze_h, mze_l, tile_h, tile_w, d, False,
+            version, cap)
+        return stream, total.astype(jnp.int32), starts
+
+    def local_step(h_l, l_l, b_l, m_l):
+        streams, totals, starts = jax.vmap(encode_one)(h_l, l_l, b_l, m_l)
+        all_sizes = jax.lax.all_gather(totals, "tiles", tiled=True)
+        return streams, all_sizes, starts
+
+    return jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles")),
+        out_specs=(P("tiles"), P(), P("tiles")),
+        check_vma=False,
+    )(hi, lo, bits, masks)
 
 
 def _addressable_tile_rows(arr) -> dict[int, np.ndarray]:
@@ -303,23 +333,52 @@ class MosaicEncoder:
             masks = np.concatenate([masks, np.zeros((t_pad - t_total,) + masks.shape[1:], bool)])
 
         sharding = NamedSharding(self.mesh, P("tiles"))
-        dev_dtype = jnp.int32 if self.dt < DataType.FLOAT else jnp.float32
-        tiles_d = jax.device_put(jnp.asarray(tiles, dtype=dev_dtype), sharding)
-        masks_d = jax.device_put(jnp.asarray(masks), sharding)
+        if self.dt == DataType.DOUBLE:
+            # lossy f64 rides the double-single kernels; hi/lo/bit-pattern
+            # split is exact on host (device_f64.split_f64_host), z ranges
+            # stay host-side exact f64 (device pmin/pmax would round f32)
+            t64 = tiles.astype(np.float64)
+            d_hi, d_lo, d_bits = device_f64.split_f64_host(t64)
+            hi_d = jax.device_put(jnp.asarray(d_hi), sharding)
+            lo_d = jax.device_put(jnp.asarray(d_lo), sharding)
+            bits_d = jax.device_put(jnp.asarray(d_bits), sharding)
+            masks_d = jax.device_put(jnp.asarray(masks), sharding)
+            mh = np.float32(mze)
+            ml = np.float32(np.float64(mze) - np.float64(mh))
+            streams, all_sizes, starts = _encode_tiles_f64_sharded(
+                hi_d, lo_d, bits_d, masks_d, jnp.float32(mh), jnp.float32(ml),
+                self.mesh, self.tile_h, self.tile_w, self.d, self.version,
+                self.cap)
+            sizes_np = np.asarray(all_sizes)
+            mbs_np = np.full(t_pad, 8, np.int32)  # device_f64 wire is 8x8
+            m4 = masks[:, :, :, None]
+            zmins_np = np.where(m4, t64, np.inf).min(axis=(1, 2))
+            zmaxs_np = np.where(m4, t64, -np.inf).max(axis=(1, 2))
+            empty = ~masks.any(axis=(1, 2))
+            zmins_np[empty] = 0.0
+            zmaxs_np[empty] = 0.0
+            gmin = (zmins_np[~empty].min(axis=0) if (~empty).any()
+                    else np.zeros(self.d))
+            gmax = (zmaxs_np[~empty].max(axis=0) if (~empty).any()
+                    else np.zeros(self.d))
+        else:
+            dev_dtype = jnp.int32 if self.dt < DataType.FLOAT else jnp.float32
+            tiles_d = jax.device_put(jnp.asarray(tiles, dtype=dev_dtype), sharding)
+            masks_d = jax.device_put(jnp.asarray(masks), sharding)
 
-        (streams, totals, mbs, zmins, zmaxs, gmin, gmax,
-         all_sizes, all_mbs, all_zmins, all_zmaxs, starts) = (
-            _encode_tiles_sharded(
-                tiles_d, masks_d, jnp.float32(mze), self.mesh,
-                self.tile_h, self.tile_w, self.d, self.dt, self.version, self.cap,
-                try_16=self.try_16,
+            (streams, totals, mbs, zmins, zmaxs, gmin, gmax,
+             all_sizes, all_mbs, all_zmins, all_zmaxs, starts) = (
+                _encode_tiles_sharded(
+                    tiles_d, masks_d, jnp.float32(mze), self.mesh,
+                    self.tile_h, self.tile_w, self.d, self.dt, self.version, self.cap,
+                    try_16=self.try_16,
+                )
             )
-        )
-        # replicated metadata: addressable on every process by definition
-        sizes_np = np.asarray(all_sizes)
-        mbs_np = np.asarray(all_mbs)
-        zmins_np = np.asarray(all_zmins, dtype=np.float64)
-        zmaxs_np = np.asarray(all_zmaxs, dtype=np.float64)
+            # replicated metadata: addressable on every process by definition
+            sizes_np = np.asarray(all_sizes)
+            mbs_np = np.asarray(all_mbs)
+            zmins_np = np.asarray(all_zmins, dtype=np.float64)
+            zmaxs_np = np.asarray(all_zmaxs, dtype=np.float64)
         # payload bytes: read ONLY this process's addressable shards; with
         # multiple processes, one ragged gather over DCN assembles the rest
         # (Lerc.cpp:130-176 band-ordered concat semantics, distributed)
@@ -541,6 +600,10 @@ def _decode_tiles_device_batched(info, views, layouts, wanted, mesh=None):
         base, hd = layouts[t][b]
         u = t * n_bands + b
         if not (stream_offs[u] >= 0 and hd.num_valid_pixel > 0
+                # f64 records carry 8-byte double offsets the batched
+                # device header parse doesn't decode; DOUBLE units take
+                # the per-tile softfloat path (_decode_tile_blob)
+                and hd.dt != DataType.DOUBLE
                 and hd.micro_block_size in (8, 16)
                 and tile_h % hd.micro_block_size == 0
                 and tile_w % hd.micro_block_size == 0
@@ -664,6 +727,25 @@ def _decode_tiles_device_batched(info, views, layouts, wanted, mesh=None):
     return out
 
 
+def _decode_tile_blob(view, n_bands: int) -> np.ndarray:
+    """Per-tile fallback decode -> [nBands, H, W, D]. Single-band tiles
+    try the device path first (decode_band_device: native record scan +
+    device kernels incl. the exact-softfloat f64 dequant -- how DOUBLE
+    mosaic tiles stay on device), then the host decoder."""
+    from ..codec.orchestrator import decode_blob
+
+    if n_bands == 1:
+        try:
+            from ..codec.device_codec import decode_band_device
+
+            out = decode_band_device(view)
+            if out is not None:
+                return np.asarray(out.data)[None]
+        except Exception:
+            pass  # native scanner absent or unsupported layout: host path
+    return decode_blob(view).data
+
+
 def _const_unit_fill(view, layout, b, tile_h, tile_w):
     """Cheap host fill for units with no tile stream: fully-invalid bands
     (zeros) and fully-valid const bands (z_min everywhere, the reference's
@@ -725,7 +807,7 @@ def decode_mosaic_device(buf: bytes, mesh: Mesh | None = None) -> np.ndarray:
                 img = _const_unit_fill(views[t], layouts[t], b, tile_h, tile_w)
             if img is None:
                 if t not in host_tiles:
-                    host_tiles[t] = decode_blob(views[t]).data
+                    host_tiles[t] = _decode_tile_blob(views[t], n_bands)
                 img = host_tiles[t][b]
             out[b, ti * tile_h : ti * tile_h + hs,
                 tj * tile_w : tj * tile_w + ws] = img[:hs, :ws]
@@ -773,7 +855,7 @@ def decode_mosaic_region(buf: bytes, row0: int, row1: int, col0: int, col1: int,
                 img = _const_unit_fill(views[t], layouts[t], b, tile_h, tile_w)
             if img is None:
                 if t not in host_tiles:
-                    host_tiles[t] = decode_blob(views[t]).data
+                    host_tiles[t] = _decode_tile_blob(views[t], n_bands)
                 img = host_tiles[t][b]
             if out is None:
                 out = np.zeros((n_bands, row1c - row0c, col1c - col0c,
