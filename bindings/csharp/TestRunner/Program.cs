@@ -72,9 +72,114 @@ namespace LercTpu.Tests
                 }
             }
 
+            // ---- ENCODER conformance (LercEncode.cs): re-encode each
+            // encode-vector input and byte-compare against the blob the
+            // statement-exact Python twin produced (cs_sim.py); the twin's
+            // blobs are separately round-tripped through the reference C++
+            // oracle by tests/test_cs_binding.py, so byte equality here
+            // certifies the real-CLR output as reference-decodable.
+            string encPath = args.Length > 1 ? args[1]
+                : Path.Combine(Path.GetDirectoryName(path) ?? ".", "encode_vectors.json");
+            if (File.Exists(encPath))
+            {
+                using JsonDocument encDoc = JsonDocument.Parse(File.ReadAllText(encPath));
+                foreach (JsonElement vec in encDoc.RootElement.EnumerateArray())
+                {
+                    total++;
+                    string name = vec.GetProperty("name").GetString();
+                    try { RunEncodeVector(vec); }
+                    catch (Exception e) { failures.Add($"{name}: {e.Message}"); }
+                }
+            }
+            else
+                Console.Error.WriteLine($"note: no encode vectors at {encPath}");
+
             Console.WriteLine($"{total - failures.Count}/{total} passed");
             foreach (string f in failures) Console.Error.WriteLine("FAIL " + f);
             return failures.Count == 0 ? 0 : 1;
+        }
+
+        static void RunEncodeVector(JsonElement vec)
+        {
+            int dtype = vec.GetProperty("dtype").GetInt32();
+            int nDepth = vec.GetProperty("nDepth").GetInt32();
+            int nCols = vec.GetProperty("nCols").GetInt32();
+            int nRows = vec.GetProperty("nRows").GetInt32();
+            int nBands = vec.GetProperty("nBands").GetInt32();
+            var maskType = (MaskType)vec.GetProperty("maskType").GetInt32();
+            double maxZErr = vec.GetProperty("maxZErr").GetDouble();
+            byte[] raster = Convert.FromBase64String(vec.GetProperty("raster").GetString());
+            JsonElement masksEl = vec.GetProperty("masks");
+            byte[] masks = masksEl.ValueKind == JsonValueKind.Null
+                ? Array.Empty<byte>() : Convert.FromBase64String(masksEl.GetString());
+            byte[] expected = Convert.FromBase64String(vec.GetProperty("expected_blob").GetString());
+
+            byte[] got = dtype switch
+            {
+                0 => LercEncode.Encode<sbyte>(FromBytes<sbyte>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                1 => LercEncode.Encode<byte>(raster, nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                2 => LercEncode.Encode<short>(FromBytes<short>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                3 => LercEncode.Encode<ushort>(FromBytes<ushort>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                4 => LercEncode.Encode<int>(FromBytes<int>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                5 => LercEncode.Encode<uint>(FromBytes<uint>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                6 => LercEncode.Encode<float>(FromBytes<float>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                7 => LercEncode.Encode<double>(FromBytes<double>(raster), nDepth, nCols, nRows, nBands, maskType, maxZErr, masks),
+                _ => throw new Exception($"dtype {dtype}"),
+            };
+            if (got.Length != expected.Length)
+                throw new Exception($"blob length {got.Length} != twin {expected.Length}");
+            for (int i = 0; i < got.Length; i++)
+                if (got[i] != expected[i])
+                    throw new Exception($"blob byte {i}: {got[i]} != twin {expected[i]}");
+
+            // round-trip through the managed decoder: every valid pixel
+            // within maxZErr (ints: floor semantics handled by comparing
+            // against the adjusted bound)
+            int nMasks = maskType == MaskType.AllValid ? 0
+                       : maskType == MaskType.SameMaskForAllBands ? 1 : nBands;
+            byte[] valid = new byte[Math.Max(1, nMasks) * nCols * nRows];
+            int perBand = nCols * nRows * nDepth;
+            double[] dec = new double[nBands * perBand];
+            Check(LercDecode.lerc_decodeToDouble(got, (uint)got.Length, nMasks, valid,
+                                                 nDepth, nCols, nRows, nBands, dec));
+            double tol = dtype <= 5 ? (maxZErr <= 0.5 ? 0.0 : Math.Floor(maxZErr))
+                                    : maxZErr * 1.01;
+            for (int b = 0; b < nBands; b++)
+                for (int p = 0; p < nCols * nRows; p++)
+                {
+                    bool ok = nMasks == 0 || valid[(nMasks == 1 ? 0 : b) * nCols * nRows + p] != 0;
+                    if (!ok) continue;
+                    for (int d = 0; d < nDepth; d++)
+                    {
+                        long i = (long)b * perBand + (long)p * nDepth + d;
+                        double orig = ReadAsDouble(raster, dtype, i);
+                        if (Math.Abs(dec[i] - orig) > tol)
+                            throw new Exception($"roundtrip err {Math.Abs(dec[i] - orig)} > {tol} at {i}");
+                    }
+                }
+        }
+
+        static T[] FromBytes<T>(byte[] raw) where T : unmanaged
+        {
+            int sz = System.Runtime.InteropServices.Marshal.SizeOf<T>();
+            var o = new T[raw.Length / sz];
+            Buffer.BlockCopy(raw, 0, o, 0, raw.Length);
+            return o;
+        }
+
+        static double ReadAsDouble(byte[] raw, int dtype, long i)
+        {
+            switch (dtype)
+            {
+                case 0: return (sbyte)raw[i];
+                case 1: return raw[i];
+                case 2: return BitConverter.ToInt16(raw, (int)(i * 2));
+                case 3: return BitConverter.ToUInt16(raw, (int)(i * 2));
+                case 4: return BitConverter.ToInt32(raw, (int)(i * 4));
+                case 5: return BitConverter.ToUInt32(raw, (int)(i * 4));
+                case 6: return BitConverter.ToSingle(raw, (int)(i * 4));
+                default: return BitConverter.ToDouble(raw, (int)(i * 8));
+            }
         }
 
         static byte[] Slice(byte[] src, int n)

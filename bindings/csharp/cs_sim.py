@@ -1444,3 +1444,592 @@ def lerc_decodeToDouble_4D(pLercBlob, blobSize, nMasks, pValidBytes, nDepth,
     return _decode_core(pLercBlob, blobSize, nMasks, pValidBytes, nDepth, nCols,
                         nRows, nBands, info.dt, len(pData), store,
                         pUsesNoData, noDataValues)
+
+
+# ===========================================================================
+# LercEncodeSim: statement-exact twin of bindings/csharp/LercEncode.cs
+# (the pure-managed ENCODER; same sync rules as the decoder twin above --
+# edit both files together, then refresh PINNED_ENCODE_SHA256).
+# C# semantics modeled exactly: checked-range narrowing casts are explicit
+# masks, double->long truncates toward zero, (sbyte)/(byte) wraparound.
+# ===========================================================================
+
+PINNED_ENCODE_SHA256 = "a740a4d3f2b80a80dd2229918c5dab96772bf0902d953193f1b256fdaaa0e70d"
+
+MASK_ALL_VALID = 0
+MASK_SAME_FOR_ALL_BANDS = 1
+MASK_UNIQUE_PER_BAND = 2
+
+_ENC_CURRENT_VERSION = 6
+_ENC_DT_SIZE = [1, 1, 2, 2, 4, 4, 4, 8]
+
+
+def check_encode_in_sync():
+    """Raise if LercEncode.cs changed since this twin was synchronized."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LercEncode.cs")
+    actual = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    if actual != PINNED_ENCODE_SHA256:
+        raise AssertionError(
+            f"bindings/csharp/LercEncode.cs hash {actual} != pinned "
+            f"{PINNED_ENCODE_SHA256}: LercEncode.cs was edited without "
+            "updating cs_sim.py. Port the change (statement-for-statement), "
+            "then refresh PINNED_ENCODE_SHA256."
+        )
+
+
+def _enc_dt_of(np_dtype):
+    m = {np.int8: DT_CHAR, np.uint8: DT_BYTE, np.int16: DT_SHORT,
+         np.uint16: DT_USHORT, np.int32: DT_INT, np.uint32: DT_UINT,
+         np.float32: DT_FLOAT, np.float64: DT_DOUBLE}
+    return m[np.dtype(np_dtype).type]
+
+
+def encode(raster, nDepth, nCols, nRows, nBands, maskType=MASK_ALL_VALID,
+           maxZErr=0.0, pixelMasks=None):
+    """Twin of LercEncode.Encode<T>: raster is a flat numpy array in
+    band-major [band][row][col][depth] order. Returns bytes."""
+    raster = np.asarray(raster).reshape(-1)
+    dt = _enc_dt_of(raster.dtype)
+    nPix = nRows * nCols
+    if nDepth < 1 or nCols < 1 or nRows < 1 or nBands < 1:
+        raise ValueError("bad raster geometry")
+    if raster.size < nPix * nDepth * nBands:
+        raise ValueError("rasterData too small")
+    if dt >= DT_FLOAT and maxZErr < 0:
+        raise ValueError("negative maxZError not allowed for float types")
+    mze = maxZErr
+    if dt < DT_FLOAT:
+        mze = max(0.5, math.floor(mze))
+
+    nMasks = (0 if maskType == MASK_ALL_VALID
+              else 1 if maskType == MASK_SAME_FOR_ALL_BANDS else nBands)
+    if nMasks > 0 and (pixelMasks is None or len(pixelMasks) < nMasks * nPix):
+        raise ValueError("pixelMasks too small")
+
+    output = bytearray()
+    for b in range(nBands):
+        off = b * nPix * nDepth
+        vals = raster[off : off + nPix * nDepth].astype(np.float64)
+        if nMasks == 0:
+            mask = np.ones(nPix, bool)
+        else:
+            moff = 0 if nMasks == 1 else b * nPix
+            mask = np.asarray(pixelMasks).reshape(-1)[moff : moff + nPix] != 0
+        _encode_band(output, vals, mask, nRows, nCols, nDepth, dt, mze,
+                     nBands - 1 - b)
+    return bytes(output)
+
+
+def compute_encoded_size(raster, nDepth, nCols, nRows, nBands,
+                         maskType=MASK_ALL_VALID, maxZErr=0.0, pixelMasks=None):
+    return len(encode(raster, nDepth, nCols, nRows, nBands, maskType, maxZErr,
+                      pixelMasks))
+
+
+def _encode_band(output, vals, mask, nRows, nCols, nDepth, dt, mze, nBlobsMore):
+    nPix = nRows * nCols
+    numValid = int(mask.sum())
+
+    maskSection = _build_mask_section(mask, nRows, nCols, numValid)
+
+    zMin = zMax = 0.0
+    zMinVec = np.zeros(nDepth)
+    zMaxVec = np.zeros(nDepth)
+    if numValid > 0:
+        v2 = vals.reshape(nPix, nDepth)[mask]
+        zMinVec = v2.min(axis=0)
+        zMaxVec = v2.max(axis=0)
+        zMin = float(zMinVec.min())
+        zMax = float(zMaxVec.max())
+
+    if numValid == 0 or zMin == zMax:
+        _assemble(output, nRows, nCols, nDepth, numValid, 8, dt, mze, zMin,
+                  zMax, nBlobsMore, maskSection,
+                  _ranges_section(zMinVec, zMaxVec, dt, numValid, zMin, zMax, nDepth),
+                  b"")
+        return
+
+    ranges = _ranges_section(zMinVec, zMaxVec, dt, numValid, zMin, zMax, nDepth)
+    if bool((zMinVec == zMaxVec).all()):
+        _assemble(output, nRows, nCols, nDepth, numValid, 8, dt, mze, zMin,
+                  zMax, nBlobsMore, maskSection, ranges, b"")
+        return
+
+    tiling = _write_tiles(vals, mask, nRows, nCols, nDepth, dt, mze)
+    payload = tiling
+    imageMode = 0
+    tryHuffman = dt <= DT_BYTE and mze == 0.5
+
+    if tryHuffman:
+        hm, hMode = _encode_huffman_int(vals, mask, nRows, nCols, nDepth, dt)
+        if hm is not None and len(hm) < len(tiling):
+            payload = hm
+            imageMode = hMode
+
+    nOneSweep = _ENC_DT_SIZE[dt] * nDepth * numValid
+    if nOneSweep <= len(payload) + (1 if tryHuffman else 0):
+        sweep = bytearray([1])
+        v2 = vals.reshape(nPix, nDepth)
+        for i in range(nPix):
+            if mask[i]:
+                for d in range(nDepth):
+                    _write_native(sweep, v2[i, d], dt)
+        body = bytes(sweep)
+    else:
+        bl = bytearray([0])
+        if tryHuffman:
+            bl.append(imageMode)
+        bl += payload
+        body = bytes(bl)
+    _assemble(output, nRows, nCols, nDepth, numValid, 8, dt, mze, zMin, zMax,
+              nBlobsMore, maskSection, ranges, body)
+
+
+def _ranges_section(zMinVec, zMaxVec, dt, numValid, zMin, zMax, nDepth):
+    if numValid == 0 or zMin == zMax:
+        return b""
+    outp = bytearray()
+    for d in range(nDepth):
+        _write_native(outp, float(zMinVec[d]), dt)
+    for d in range(nDepth):
+        _write_native(outp, float(zMaxVec[d]), dt)
+    return bytes(outp)
+
+
+def _build_mask_section(mask, nRows, nCols, numValid):
+    outp = bytearray()
+    nPix = nRows * nCols
+    if 0 < numValid < nPix:
+        nBytes = (nPix + 7) >> 3
+        bits = bytearray(nBytes)
+        for i in range(nPix):
+            if mask[i]:
+                bits[i >> 3] |= 0x80 >> (i & 7)
+        pad = nBytes * 8 - nPix
+        if pad > 0:
+            bits[nBytes - 1] |= (1 << pad) - 1
+        rle = _rle_compress(bytes(bits))
+        outp += struct.pack("<i", len(rle))
+        outp += rle
+    else:
+        outp += struct.pack("<i", 0)
+    return bytes(outp)
+
+
+def _write_tiles(vals, mask, nRows, nCols, nDepth, dt, mze):
+    MB = 8
+    nbv = (nRows + MB - 1) // MB
+    nbh = (nCols + MB - 1) // MB
+    scale = 1.0 / (2 * mze) if mze > 0 else 0.0
+    maxValQuant = (1 << 15) - 1 if dt <= DT_USHORT else (1 << 30) - 1
+    outp = bytearray()
+    v2 = vals.reshape(nRows * nCols, nDepth)
+
+    for bi in range(nbv):
+        for bj in range(nbh):
+            i0, j0 = bi * MB, bj * MB
+            h = min(MB, nRows - i0)
+            w = min(MB, nCols - j0)
+            flag = (((j0 >> 3) & 15) << 2) & 0b111000
+
+            for d in range(nDepth):
+                blk = []
+                for i in range(h):
+                    for j in range(w):
+                        p = (i0 + i) * nCols + (j0 + j)
+                        if mask[p]:
+                            blk.append(v2[p, d])
+                cnt = len(blk)
+                if cnt == 0:
+                    outp.append(flag | 2)
+                    continue
+                bmn = min(blk)
+                bmx = max(blk)
+                if bmn == 0 and bmx == 0:
+                    outp.append(flag | 2)
+                    continue
+                maxVal = (bmx - bmn) * scale if mze > 0 else 0.0
+                forceRaw = (mze == 0 and bmx > bmn) or (mze > 0 and maxVal > maxValQuant)
+                nBytesRaw = 1 + cnt * _ENC_DT_SIZE[dt]
+                if forceRaw:
+                    outp.append(flag)
+                    for v in blk:
+                        _write_native(outp, v, dt)
+                    continue
+                maxElem = int(math.floor(maxVal + 0.5))
+                quant = []
+                qMax = 0
+                for v in blk:
+                    q = int(math.floor((v - bmn) * scale + 0.5)) & 0xFFFFFFFF
+                    quant.append(q)
+                    if q > qMax:
+                        qMax = q
+                tc, dtReduced = _reduce_data_type(bmn, dt)
+                nBytes = 1 + _ENC_DT_SIZE[dtReduced]
+                if maxElem > 0:
+                    nBytes += _compute_bytes_simple(cnt, maxElem)
+                if nBytes >= nBytesRaw:
+                    outp.append(flag)
+                    for v in blk:
+                        _write_native(outp, v, dt)
+                    continue
+                modeBits = (3 if maxElem == 0 else 1) | (tc << 6)
+                outp.append(flag | modeBits)
+                _write_native(outp, bmn, dtReduced)
+                if maxElem > 0:
+                    _stuff_simple(outp, quant, cnt, qMax)
+    return bytes(outp)
+
+
+def _reduce_data_type(z, dt):
+    isByte = 0 <= z <= 255 and z == math.floor(z)
+    isShort = -32768 <= z <= 32767 and z == math.floor(z)
+    isChar = -128 <= z <= 127 and z == math.floor(z)
+    isUShort = 0 <= z <= 65535 and z == math.floor(z)
+    if dt == DT_SHORT:
+        tc = 2 if isChar else 1 if isByte else 0
+        return tc, dt - tc
+    if dt == DT_USHORT:
+        tc = 1 if isByte else 0
+        return tc, dt - 2 * tc
+    if dt == DT_INT:
+        tc = 3 if isByte else 2 if isShort else 1 if isUShort else 0
+        return tc, dt - tc
+    if dt == DT_UINT:
+        tc = 2 if isByte else 1 if isUShort else 0
+        return tc, dt - 2 * tc
+    if dt == DT_FLOAT:
+        tc = 2 if isByte else 1 if isShort else 0
+        return tc, dt if tc == 0 else (DT_SHORT if tc == 1 else DT_BYTE)
+    if dt == DT_DOUBLE:
+        isInt32 = -2147483648.0 <= z <= 2147483647.0 and z == math.floor(z)
+        isF32 = float(np.float32(z)) == z
+        tc = 3 if isShort else 2 if isInt32 else 1 if isF32 else 0
+        return tc, dt if tc == 0 else dt - 2 * tc + 1
+    return 0, dt
+
+
+def _num_bits_needed(maxElem):
+    nb = 0
+    while maxElem > 0:
+        nb += 1
+        maxElem >>= 1
+    return nb
+
+
+def _compute_bytes_simple(numElements, maxElem):
+    nb = _num_bits_needed(maxElem)
+    w = 1 if numElements < 256 else 2 if numElements < 65536 else 4
+    return 1 + w + ((numElements * nb + 7) >> 3)
+
+
+def _stuff_simple(outp, values, n, qMax):
+    nb = _num_bits_needed(qMax)
+    w = 1 if n < 256 else 2 if n < 65536 else 4
+    outp.append(nb | ((0 if w == 4 else 3 - w) << 6))
+    for k in range(w):
+        outp.append((n >> (8 * k)) & 0xFF)
+    if nb == 0:
+        return
+    acc = 0
+    accBits = 0
+    for k in range(n):
+        acc |= values[k] << accBits
+        accBits += nb
+        while accBits >= 8:
+            outp.append(acc & 0xFF)
+            acc >>= 8
+            accBits -= 8
+    if accBits > 0:
+        outp.append(acc & 0xFF)
+
+
+def _encode_huffman_int(vals, mask, nRows, nCols, nDepth, dt):
+    offset = 128 if dt == DT_CHAR else 0
+    nPix = nRows * nCols
+    v2 = vals.reshape(nPix, nDepth)
+
+    direct = []
+    for i in range(nPix):
+        if mask[i]:
+            for d in range(nDepth):
+                direct.append((int(v2[i, d]) + offset) & 0xFF)
+
+    delta = []
+    for d in range(nDepth):
+        prev = 0
+        first = True
+        for i in range(nPix):
+            if not mask[i]:
+                continue
+            row, col = divmod(i, nCols)
+            v = int(v2[i, d])
+            leftOk = col > 0 and mask[i - 1]
+            aboveOk = row > 0 and mask[i - nCols]
+            p = (int(v2[i - nCols, d]) if (not leftOk and aboveOk)
+                 else 0 if first else prev)
+            if dt == DT_CHAR:
+                dv = ((v - p + 128) & 0xFF) - 128  # (sbyte)(v - p)
+            else:
+                dv = (v - p) & 0xFF  # (byte)(v - p)
+            delta.append((dv + offset) & 0xFF)
+            prev = v
+            first = False
+
+    enc0 = _huffman_encode_stream(direct)
+    enc1 = _huffman_encode_stream(delta)
+    if enc0 is None and enc1 is None:
+        return None, 0
+    if enc0 is not None and (enc1 is None or len(enc0) <= len(enc1)):
+        return enc0, 2  # HUFFMAN
+    return enc1, 1  # DELTA_HUFFMAN
+
+
+def _huffman_encode_stream(symbols):
+    histo = [0] * 256
+    for s in symbols:
+        histo[s] += 1
+    lengths = _huffman_code_lengths(histo)
+    if lengths is None:
+        return None
+    codes = _canonical_codes(lengths)
+    outp = bytearray()
+    if not _write_code_table(outp, lengths, codes):
+        return None
+    bw = _BitWriterMSB(outp)
+    for s in symbols:
+        bw.write(codes[s], lengths[s])
+    bw.flush(pad_uints=1)
+    return bytes(outp)
+
+
+def _huffman_code_lengths(histo):
+    weight, left, right, leafSym = [], [], [], []
+    heap = []
+    for i in range(256):
+        if histo[i] > 0:
+            weight.append(histo[i])
+            left.append(-1)
+            right.append(-1)
+            leafSym.append(i)
+            heap.append(len(weight) - 1)
+    if len(heap) < 2:
+        return None
+    heap.sort(key=lambda a: (weight[a], a))
+    # ordered linked-list merge (twin of the C# LinkedList walk)
+    lst = list(heap)
+    while len(lst) > 1:
+        n0 = lst.pop(0)
+        n1 = lst.pop(0)
+        weight.append(weight[n0] + weight[n1])
+        left.append(n0)
+        right.append(n1)
+        leafSym.append(-1)
+        node = len(weight) - 1
+        k = 0
+        while k < len(lst) and (weight[lst[k]], lst[k]) < (weight[node], node):
+            k += 1
+        lst.insert(k, node)
+    lengths = [0] * 256
+    stack = [(lst[0], 0)]
+    while stack:
+        node, depth = stack.pop()
+        if leafSym[node] >= 0:
+            if depth > 32:
+                return None
+            lengths[leafSym[node]] = max(depth, 0)
+        else:
+            stack.append((left[node], depth + 1))
+            stack.append((right[node], depth + 1))
+    return lengths
+
+
+def _canonical_codes(lengths):
+    size = len(lengths)
+    order = [i for i in range(size) if lengths[i] > 0]
+    order.sort(key=lambda a: (-lengths[a], a))
+    codes = [0] * size
+    if not order:
+        return codes
+    codeLen = lengths[order[0]]
+    code = 0
+    for idx in order:
+        dl = codeLen - lengths[idx]
+        code >>= dl
+        codeLen -= dl
+        codes[idx] = code
+        code += 1
+    return codes
+
+
+def _write_code_table(outp, lengths, codes):
+    size = len(lengths)
+    i0 = i1 = -1
+    for i in range(size):
+        if lengths[i] > 0:
+            if i0 < 0:
+                i0 = i
+            i1 = i + 1
+    if i0 < 0:
+        return False
+    bestK0 = bestLen = 0
+    j = 0
+    while j < size:
+        while j < size and lengths[j] > 0:
+            j += 1
+        k0 = j
+        while j < size and lengths[j] == 0:
+            j += 1
+        if j - k0 > bestLen:
+            bestK0, bestLen = k0, j - k0
+    if size - bestLen < i1 - i0:
+        i0 = bestK0 + bestLen
+        i1 = bestK0 + size
+    maxLen = 0
+    for i in range(i0, i1):
+        if lengths[i % size] > maxLen:
+            maxLen = lengths[i % size]
+    if maxLen <= 0 or maxLen > 32:
+        return False
+
+    outp += struct.pack("<4i", 3, size, i0, i1)
+    lens = [lengths[i % size] for i in range(i0, i1)]
+    _stuff_simple(outp, lens, len(lens), max(lens))
+    bw = _BitWriterMSB(outp)
+    for i in range(i0, i1):
+        k = i % size
+        if lengths[k] > 0:
+            bw.write(codes[k], lengths[k])
+    bw.flush(pad_uints=0)
+    return True
+
+
+class _BitWriterMSB:
+    def __init__(self, outp):
+        self.outp = outp
+        self.word = 0
+        self.bitPos = 0
+
+    def write(self, code, length):
+        while length > 0:
+            take = min(length, 32 - self.bitPos)
+            piece = (code >> (length - take)) & (0xFFFFFFFF if take == 32 else (1 << take) - 1)
+            self.word |= (piece << (32 - self.bitPos - take)) & 0xFFFFFFFF
+            self.bitPos += take
+            length -= take
+            if self.bitPos == 32:
+                self._emit()
+                self.word = 0
+                self.bitPos = 0
+
+    def flush(self, pad_uints):
+        if self.bitPos > 0:
+            self._emit()
+            self.word = 0
+            self.bitPos = 0
+        for _ in range(pad_uints):
+            self._emit()
+
+    def _emit(self):
+        self.outp += struct.pack("<I", self.word)
+
+
+def _rle_compress(arr):
+    MIN_NUM_EVEN, CAP = 5, 32767
+    n = len(arr)
+    outp = bytearray()
+    lit = bytearray()
+
+    def flush_literal():
+        pos = 0
+        while pos < len(lit):
+            c = min(CAP, len(lit) - pos)
+            outp.append(c & 0xFF)
+            outp.append((c >> 8) & 0xFF)
+            outp.extend(lit[pos : pos + c])
+            pos += c
+        lit.clear()
+
+    i = 0
+    while i < n:
+        runLen = 1
+        while i + runLen < n and arr[i + runLen] == arr[i]:
+            runLen += 1
+        if runLen >= MIN_NUM_EVEN and i + MIN_NUM_EVEN < n:
+            flush_literal()
+            remaining = runLen
+            while remaining > CAP:
+                outp += struct.pack("<h", -CAP)
+                outp.append(arr[i])
+                remaining -= CAP
+            outp += struct.pack("<h", -remaining)
+            outp.append(arr[i])
+        else:
+            lit += arr[i : i + runLen]
+        i += runLen
+    flush_literal()
+    outp += struct.pack("<h", -32768)
+    return bytes(outp)
+
+
+def _assemble(output, nRows, nCols, nDepth, numValid, microBlock, dt, mze,
+              zMin, zMax, nBlobsMore, maskSection, ranges, body):
+    HEADER_SIZE = 90
+    blobSize = HEADER_SIZE + len(maskSection) + len(ranges) + len(body)
+    blob = bytearray()
+    blob += b"Lerc2 "
+    blob += struct.pack("<i", _ENC_CURRENT_VERSION)
+    blob += struct.pack("<i", 0)  # checksum placeholder
+    blob += struct.pack("<9i", nRows, nCols, nDepth, numValid, microBlock,
+                        blobSize, dt, nBlobsMore, 0)
+    # the 9th int packs the 4 flag bytes (all zero)
+    blob += struct.pack("<5d", mze, zMin, zMax, 0.0, 0.0)
+    blob += maskSection
+    blob += ranges
+    blob += body
+    checksum = _enc_fletcher32(blob, 14, len(blob))
+    struct.pack_into("<I", blob, 10, checksum)
+    output += blob
+
+
+def _enc_fletcher32(u8, start, end):
+    sum1 = 0xFFFF
+    sum2 = 0xFFFF
+    length = end - start
+    pos = start
+    words = length // 2
+    while words > 0:
+        block = min(words, 359)
+        words -= block
+        for _ in range(block):
+            sum1 += u8[pos] << 8
+            pos += 1
+            sum1 += u8[pos]
+            sum2 += sum1
+            pos += 1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if length & 1:
+        sum1 += u8[pos] << 8
+        sum2 += sum1
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
+
+
+def _write_native(o, v, dt):
+    if dt == DT_CHAR:
+        o.append(int(v) & 0xFF)
+    elif dt == DT_BYTE:
+        o.append(int(v) & 0xFF)
+    elif dt in (DT_SHORT, DT_USHORT):
+        o += struct.pack("<H", int(v) & 0xFFFF)
+    elif dt in (DT_INT, DT_UINT):
+        o += struct.pack("<I", int(v) & 0xFFFFFFFF)
+    elif dt == DT_FLOAT:
+        o += struct.pack("<f", np.float32(v))
+    else:
+        o += struct.pack("<d", v)

@@ -156,8 +156,56 @@ def main():
     # plain JSON twin: consumed by the node runner (run_node.mjs) and the
     # C# TestRunner -- same vectors, no browser wrapper
     (outdir / "vectors.json").write_text(payload + "\n")
+    n_enc = write_encode_vectors(outdir, rng)
     print(f"wrote {len(vectors)} vectors to {out} ({out.stat().st_size} bytes)"
-          f" + vectors.json")
+          f" + vectors.json + {n_enc} encode vectors")
+
+
+def write_encode_vectors(outdir: pathlib.Path, rng) -> int:
+    """C# ENCODER conformance vectors (encode_vectors.json): inputs plus
+    the blob the statement-exact twin (bindings/csharp/cs_sim.py) produces.
+    The dotnet TestRunner re-encodes each input with LercEncode.cs and
+    byte-compares -- any C#/twin divergence fails CI -- then decodes its
+    own blob with LercDecode.cs; tests/test_cs_binding.py separately
+    round-trips the SAME twin blobs through the reference C++ oracle, so
+    byte equality transitively certifies the real C# output as
+    reference-decodable."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "csharp"))
+    import cs_sim
+
+    h, w = 43, 57
+    x, y = np.meshgrid(np.linspace(0, 9, w), np.linspace(0, 7, h))
+    dem = np.sin(x) * np.cos(y) * 500 + x * y
+    mask = (rng.random((h, w)) > 0.2).astype(np.uint8)
+    smooth = (np.cumsum(rng.integers(-2, 3, size=h * w)) % 200).astype(np.uint8).reshape(h, w)
+
+    cases = [
+        ("enc-f32-lossy", dem.astype(np.float32), 1, 1, cs_sim.MASK_ALL_VALID, None, 0.01),
+        ("enc-f32-masked", dem.astype(np.float32), 1, 1,
+         cs_sim.MASK_SAME_FOR_ALL_BANDS, mask, 0.01),
+        ("enc-u8-huffman", smooth, 1, 1, cs_sim.MASK_ALL_VALID, None, 0.0),
+        ("enc-s16-lossless", np.round(dem * 30).astype(np.int16), 1, 1,
+         cs_sim.MASK_ALL_VALID, None, 0.0),
+        ("enc-f64-lossy", dem, 1, 1, cs_sim.MASK_SAME_FOR_ALL_BANDS, mask, 0.001),
+        ("enc-i32-bands2", np.stack([np.round(dem * 100).astype(np.int32),
+                                     np.round(dem * -50).astype(np.int32)]),
+         1, 2, cs_sim.MASK_ALL_VALID, None, 2.0),
+    ]
+    out = []
+    for name, arr, nd, nb, mt, pm, mze in cases:
+        flat = np.ascontiguousarray(arr).reshape(-1)
+        pm_flat = None if pm is None else pm.reshape(-1)
+        blob = cs_sim.encode(flat, nd, w, h, nb, mt, mze, pm_flat)
+        out.append({
+            "name": name, "dtype": int(cs_sim._enc_dt_of(flat.dtype)),
+            "nDepth": nd, "nCols": w, "nRows": h, "nBands": nb,
+            "maskType": mt, "maxZErr": mze,
+            "raster": b64(flat.tobytes()),
+            "masks": None if pm_flat is None else b64(pm_flat.tobytes()),
+            "expected_blob": b64(blob),
+        })
+    (outdir / "encode_vectors.json").write_text(json.dumps(out) + "\n")
+    return len(out)
 
 
 if __name__ == "__main__":

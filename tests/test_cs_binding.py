@@ -259,3 +259,131 @@ def test_cs_huffman_delta_s8_depth3():
     d3 = (((np.cumsum(RNG.integers(-1, 2, (H, W, 3)), axis=1)) % 150) - 75
           ).astype(np.int8)
     check(oracle.encode(d3, 3, W, H, 1, None, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# C# ENCODER (LercEncode.cs via its statement-exact twin cs_sim.encode):
+# every blob the twin produces must decode through BOTH the reference C++
+# oracle and our own managed-decoder twin (VERDICT r4 item 4 -- the last
+# binding-surface row: LercCS_Impl_B.cs:158-308 Encode<T> parity)
+# ---------------------------------------------------------------------------
+
+def test_cs_encode_twin_pin():
+    cs_sim.check_encode_in_sync()
+
+
+def _twin_roundtrip(arr, nd, nb, mt, pm, mze):
+    h, w = (arr.shape[1], arr.shape[2]) if arr.ndim == 4 else (arr.shape[0], arr.shape[1])
+    flat = np.ascontiguousarray(arr).reshape(-1)
+    blob = cs_sim.encode(flat, nd, w, h, nb, mt,
+                         mze, None if pm is None else pm.reshape(-1))
+    dec = oracle.decode(blob)
+    got = dec[0].astype(np.float64).reshape(nb, h, w, nd)
+    src = flat.astype(np.float64).reshape(nb, h, w, nd)
+    # per-band validity matrix [nb, h, w] regardless of maskType
+    if pm is None:
+        bm = np.ones((nb, h, w), bool)
+    elif mt == cs_sim.MASK_UNIQUE_PER_BAND:
+        bm = pm.reshape(nb, h, w).astype(bool)
+    else:
+        bm = np.broadcast_to(pm.reshape(h, w).astype(bool), (nb, h, w))
+    if pm is not None:
+        assert dec[1] is not None
+        gm = np.asarray(dec[1]).reshape(-1, h, w).astype(bool)
+        assert all(np.array_equal(gm[min(b, gm.shape[0] - 1)], bm[b])
+                   for b in range(nb))
+    if arr.dtype.kind == "f":
+        tol = 0.0 if mze == 0 else mze * 1.01
+    else:
+        tol = 0.0 if mze <= 0.5 else np.floor(mze)
+    err = max((np.abs(got[b][bm[b]] - src[b][bm[b]]).max()
+               for b in range(nb) if bm[b].any()), default=0.0)
+    assert err <= tol, (err, tol)
+    # the managed-decoder twin agrees with the oracle on our own bytes
+    n_masks = 0 if mt == cs_sim.MASK_ALL_VALID else (1 if mt == cs_sim.MASK_SAME_FOR_ALL_BANDS else nb)
+    data_out = np.zeros(nb * h * w * nd, np.float64)
+    valid = np.zeros(max(1, n_masks) * h * w, np.uint8)
+    rc = cs_sim.lerc_decodeToDouble(blob, len(blob), n_masks, valid,
+                                    nd, w, h, nb, data_out)
+    assert rc == cs_sim.OK
+    got2 = data_out.reshape(nb, h, w, nd)
+    for b in range(nb):
+        assert np.array_equal(got2[b][bm[b]], got[b][bm[b]])
+    return blob
+
+
+@pytest.mark.parametrize("np_dt,mze", [
+    (np.uint8, 0.0), (np.uint8, 1.0), (np.int8, 0.0), (np.int16, 2.0),
+    (np.uint16, 0.0), (np.int32, 4.0), (np.uint32, 0.0),
+    (np.float32, 0.001), (np.float32, 0.0), (np.float64, 0.001),
+])
+@pytest.mark.parametrize("masked", [False, True])
+def test_cs_encode_matrix(np_dt, mze, masked):
+    h, w = 37, 53
+    if np.dtype(np_dt).kind == "f":
+        arr = (RNG.random((1, h, w, 1)) * 500 - 100).astype(np_dt)
+    else:
+        info = np.iinfo(np_dt)
+        arr = RNG.integers(max(info.min, -1000), min(info.max, 4000),
+                           (1, h, w, 1)).astype(np_dt)
+    pm = None
+    mt = cs_sim.MASK_ALL_VALID
+    if masked:
+        pm = (RNG.random((h, w)) > 0.15).astype(np.uint8)
+        mt = cs_sim.MASK_SAME_FOR_ALL_BANDS
+    _twin_roundtrip(arr, 1, 1, mt, pm, mze)
+
+
+def test_cs_encode_multiband_depth():
+    arr = RNG.integers(-500, 3000, (3, 24, 40, 2)).astype(np.int16)
+    _twin_roundtrip(arr, 2, 3, cs_sim.MASK_ALL_VALID, None, 0.0)
+    pm = np.stack([(RNG.random((24, 40)) > 0.2).astype(np.uint8)
+                   for _ in range(3)])
+    _twin_roundtrip(arr, 2, 3, cs_sim.MASK_UNIQUE_PER_BAND, pm, 2.0)
+
+
+def test_cs_encode_huffman_and_onesweep():
+    h, w = 67, 83
+    smooth = (np.cumsum(RNG.integers(-2, 3, size=h * w)) % 200
+              ).astype(np.uint8).reshape(1, h, w, 1)
+    blob = _twin_roundtrip(smooth, 1, 1, cs_sim.MASK_ALL_VALID, None, 0.0)
+    assert len(blob) < h * w  # Huffman actually engaged
+    noisy = RNG.integers(0, 2**31 - 1, (1, 16, 16, 1)).astype(np.int32)
+    _twin_roundtrip(noisy, 1, 1, cs_sim.MASK_ALL_VALID, None, 0.0)  # one-sweep/raw
+
+
+def test_cs_encode_const_and_empty():
+    arr = np.full((1, 20, 30, 1), 7.25, np.float32)
+    _twin_roundtrip(arr, 1, 1, cs_sim.MASK_ALL_VALID, None, 0.01)
+    pm = np.zeros((20, 30), np.uint8)
+    flat = arr.reshape(-1)
+    blob = cs_sim.encode(flat, 1, 30, 20, 1, cs_sim.MASK_SAME_FOR_ALL_BANDS,
+                         0.01, pm.reshape(-1))
+    dec = oracle.decode(blob)  # all-invalid must still be a valid blob
+    assert not np.asarray(dec[1]).any()
+
+
+def test_cs_encode_vectors_match_generator():
+    """The shipped encode vectors (CI's byte-compare source for the real
+    CLR) stay decodable by the oracle and honest to their inputs."""
+    import base64
+    import json
+
+    vec_path = pathlib.Path(__file__).resolve().parents[1] / "bindings" / "js" / "test" / "encode_vectors.json"
+    if not vec_path.exists():
+        pytest.skip("encode vectors not generated")
+    for vec in json.loads(vec_path.read_text()):
+        blob = base64.b64decode(vec["expected_blob"])
+        dec = oracle.decode(blob)
+        np_dt = [np.int8, np.uint8, np.int16, np.uint16, np.int32,
+                 np.uint32, np.float32, np.float64][vec["dtype"]]
+        flat = np.frombuffer(base64.b64decode(vec["raster"]), np_dt)
+        nb, h, w, nd = (vec["nBands"], vec["nRows"], vec["nCols"], vec["nDepth"])
+        src = flat.astype(np.float64).reshape(nb, h, w, nd)
+        got = dec[0].astype(np.float64).reshape(nb, h, w, nd)
+        m = (np.ones((h, w), bool) if vec["masks"] is None else
+             np.frombuffer(base64.b64decode(vec["masks"]), np.uint8)[:h * w]
+             .reshape(h, w).astype(bool))
+        mze = vec["maxZErr"]
+        tol = (0.0 if mze <= 0.5 else np.floor(mze)) if vec["dtype"] <= 5 else mze * 1.01
+        assert np.abs(got[:, m] - src[:, m]).max() <= tol, vec["name"]
