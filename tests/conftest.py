@@ -24,3 +24,46 @@ def _clear_jax_caches_between_modules():
     compiler healthy at the cost of recompiling shared kernels per file."""
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# smoke tier (VERDICT r4 item 8): `pytest -m smoke` covers every wire path
+# once in < 5 min -- host codec suites wholesale (no jit, fast) plus one
+# representative device-jit case per kernel family. The full suite stays
+# the default (`pytest tests/`).
+# ---------------------------------------------------------------------------
+
+_SMOKE_MODULES = {
+    "test_format_core.py",   # header/bitstuffer/huffman/rle/bitmask units
+    "test_golden_blobs.py",  # the 3 reference golden blobs, bit-exact
+    "test_decode.py",        # host decoder vs oracle across modes
+    "test_api.py",           # C-API surface semantics
+    "test_cs_binding.py",    # C# twin conformance incl. managed encoder
+    "test_lerc1_matrix.py",  # generated Lerc1 corpus, 3 decoders
+}
+
+# one device-jit representative per kernel family (~30-60 s each on the
+# virtual CPU mesh; names matched as node-id substrings)
+_SMOKE_TESTS = (
+    "test_device_codec.py::test_f32_lossy",            # tiling enc+dec, masked too
+    "test_device_codec.py::test_device_huffman_8bit_lossless",
+    "test_device_codec.py::test_device_fpl_float_lossless",
+    "test_device_codec.py::test_device_f64_lossy",
+    "test_resident.py::test_fused_blob_is_wire_compatible",
+    "test_sharding.py::test_mosaic_roundtrip",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "smoke: fast tier covering every wire path once (< 5 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = os.path.basename(str(item.fspath))
+        node = f"{base}::{item.name}"
+        if base in _SMOKE_MODULES or any(node.startswith(s.split("::")[0])
+                                         and item.name.startswith(s.split("::")[1])
+                                         for s in _SMOKE_TESTS):
+            item.add_marker(pytest.mark.smoke)
