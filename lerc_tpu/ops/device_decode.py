@@ -344,21 +344,17 @@ def decode_tiles_fast(
             val = extract(bitpos, eff_nb)
 
     if mask is not None:
-        # expand compacted values back to block positions: position p gets
-        # value slot rank[p]. A bs-step select chain (compare rank against
-        # each slot, broadcast that slot's column) runs ~7x faster than the
-        # batched one-hot matmul on v5e (tiny [64,64]x[64,4] batched dots
-        # tile poorly) and ~80x faster than take_along_axis.
-        rank = jnp.cumsum(vb_r, axis=1).astype(jnp.int32) - 1
-        rank = jnp.where(vb_r, rank, -1)
-        vex = jnp.zeros((n_rec, bs), jnp.uint32)
-        for s_ in range(bs):
-            vex = jnp.where(rank == s_, val[:, s_ : s_ + 1], vex)
-        # barrier: without it XLA fuses this select chain into each of the
-        # downstream dequant consumers, recomputing it several times
-        # (measured 36-55 ms for the whole kernel vs ~13 ms with the
-        # barrier)
-        val = jax.lax.optimization_barrier(vex)
+        # expand compacted values back to block positions via the log-shift
+        # network (round 5): the compaction routing inverted, 6 static
+        # rolls + selects -- ~10x fewer per-element ops than the previous
+        # 64-step rank select chain (itself ~7x over the batched one-hot
+        # matmul and ~80x over take_along_axis on v5e). make_expander
+        # barriers its outputs, which also prevents the select-chain-era
+        # pathology of XLA refusing the expansion into each dequant
+        # consumer (measured 36-55 ms vs ~13 ms without a barrier).
+        from .device_encode import make_expander
+
+        (val,) = make_expander(vb_r)(val)
 
     # per-record clamp vector: tile t's [D] ranges repeat over its blocks
     zmax_t = z_max_vec.reshape(n_tiles, 1, d) if n_tiles > 1 else z_max_vec.reshape(1, 1, d)
