@@ -24,10 +24,10 @@ for every later client (never subprocess-timeout a TPU compile):
   3. the slow-compiling nb_cap=16 static-chain headline upgrade (~2-3
      min extra compile cold, ~1 s from .jax_cache, ~3x throughput) runs
      last. Every gate estimates the ACTUAL compile cost from observed
-     phase-1 compile times (cache_is_warm) instead of assuming cold,
-     and is checked BETWEEN compiles -- a started compile always runs
-     to completion. Deadline: LERC_BENCH_DEADLINE (default 420 s); set
-     LERC_BENCH_FAST=1 to skip the upgrade entirely.
+     compile times of the same kernel family (est_compile_s) instead of
+     assuming cold, and is checked BETWEEN compiles -- a started compile
+     always runs to completion. Deadline: LERC_BENCH_DEADLINE (default
+     420 s); set LERC_BENCH_FAST=1 to skip the upgrade entirely.
 
 Timing note: on this platform jax.block_until_ready does not actually wait
 (async tunnel), so each timed phase fetches a small dependent output to
@@ -137,19 +137,29 @@ def time_phases(codec, tiles, rounds, chain):
     return best_enc, best_dec, outs, decs
 
 
-COMPILE_TIMES = []  # host-side trace+compile seconds, appended per jit
+COMPILE_TIMES = {}  # family -> [host-side trace+compile seconds]
 
 
-def cache_is_warm():
-    """True when the observed compiles hit .jax_cache (~seconds). The r4
-    driver run skipped the nb16 upgrade AND the masked pass because the
-    headroom gates assumed COLD 3-minute compiles even while the same log
-    showed "compiled in 1s" — the gates never probed warmth (VERDICT r4
-    weak #1). Compile time is the direct probe: the jitted call itself
-    blocks through trace+compile (dispatch is async), so phase 1's
-    observed times tell us what every later compile of the same family
-    will cost."""
-    return bool(COMPILE_TIMES) and max(COMPILE_TIMES) < 20.0
+def note_compile(family, seconds):
+    COMPILE_TIMES.setdefault(family, []).append(seconds)
+
+
+def est_compile_s(family, cold_s):
+    """Estimated compile cost for the next jit of `family` ("uncapped" /
+    "nb16"). The r4 driver run skipped the nb16 upgrade AND the masked
+    pass because the headroom gates assumed COLD 3-minute compiles even
+    while the same log showed "compiled in 1s" (VERDICT r4 weak #1); a
+    binary warm/cold probe then misfired the other way when a source
+    change left the cache SEMI-warm (a 41 s nb16 compile read as cold and
+    skipped a 294 s-headroom upgrade). Observed compile times of the SAME
+    kernel family are the direct predictor: estimate 2x the worst
+    observation (+ margin at the gate), fall back to `cold_s` before the
+    first observation. The jitted call blocks through trace+compile
+    (dispatch is async), so the observations are real."""
+    obs = COMPILE_TIMES.get(family)
+    if not obs:
+        return cold_s
+    return min(cold_s, 2.0 * max(obs))
 
 
 def bench_ours(tiles, nb_cap, rounds=4):
@@ -157,10 +167,11 @@ def bench_ours(tiles, nb_cap, rounds=4):
     nb_cap doesn't cover the data (caller falls back)."""
     codec = FusedResidentCodec(TILE, TILE, 1, np.float32, MAX_Z_ERROR,
                                nb_cap=nb_cap)
+    family = "nb16" if nb_cap else "uncapped"
     t0 = time.perf_counter()
     out0 = codec._encode_fused(tiles[0])
     t_compile = time.perf_counter() - t0
-    COMPILE_TIMES.append(t_compile)
+    note_compile(family, t_compile)
     fits = bool(np.asarray(out0[2])[2])
     log(f"nb_cap={nb_cap}: encode compiled in {t_compile:.0f}s "
         f"(first fence +{time.perf_counter()-t0-t_compile:.0f}s)")
@@ -170,7 +181,7 @@ def bench_ours(tiles, nb_cap, rounds=4):
     t0 = time.perf_counter()
     dec0 = codec._decode_fused_fast(out0[0], out0[1], out0[3])
     t_compile = time.perf_counter() - t0
-    COMPILE_TIMES.append(t_compile)
+    note_compile(family, t_compile)
     np.asarray(dec0[1])
     log(f"nb_cap={nb_cap}: decode compiled in {t_compile:.0f}s")
 
@@ -210,7 +221,7 @@ def bench_masked(tiles, nb_cap, rounds=3):
     codec = _masked_codec(nb_cap)
     t0 = time.perf_counter()
     out = codec._encode_fused(tile)
-    COMPILE_TIMES.append(time.perf_counter() - t0)
+    note_compile("nb16" if nb_cap else "uncapped", time.perf_counter() - t0)
     fits = bool(np.asarray(out[2])[2])
     log(f"masked nb_cap={nb_cap}: encode compiled in {time.perf_counter()-t0:.0f}s")
     if nb_cap and not fits:
@@ -374,17 +385,19 @@ def _fetch_watchdog(fn, what, bound_s=None):
     return box[0]
 
 
-def _gate(name, cold_s, margin_s=45.0, warm_s=30.0):
-    """Headroom gate that probes cache warmth instead of assuming cold
-    compiles (the r4 blanket constants skipped nb16 AND masked while the
-    same log showed 1 s cache-hit compiles). `cold_s`/`warm_s` estimate
-    the step's compile+measure cost; `margin_s` protects the final JSON
-    emission."""
-    est = warm_s if cache_is_warm() else cold_s
+def _gate(name, family, cold_s, margin_s=45.0, measure_s=30.0):
+    """Headroom gate driven by observed per-family compile times (see
+    est_compile_s) instead of blanket cold constants (r4) or a binary
+    warm/cold probe (early r5). `cold_s` bounds the estimate before the
+    family's first compile; `measure_s` covers the timed passes;
+    `margin_s` protects the final JSON emission."""
+    est = est_compile_s(family, cold_s) + measure_s
     headroom = DEADLINE_S - (time.perf_counter() - T0)
     ok = headroom > est + margin_s
-    log(f"gate {name}: est {est:.0f}s (warm={cache_is_warm()}), "
-        f"headroom {headroom:.0f}s -> {'RUN' if ok else 'SKIP'}")
+    obs = COMPILE_TIMES.get(family)
+    log(f"gate {name}: est {est:.0f}s (family {family} worst observed "
+        f"{max(obs) if obs else -1:.0f}s), headroom {headroom:.0f}s -> "
+        f"{'RUN' if ok else 'SKIP'}")
     return ok
 
 
@@ -407,7 +420,7 @@ def main():
     # masked sat behind the nb16 gate). nb16-first; bench_masked falls
     # back to the uncapped kernels internally when nb16 doesn't fit.
     masked, masked_error = None, None
-    if _gate("masked", cold_s=220):
+    if _gate("masked", "nb16", cold_s=220):
         try:
             masked = bench_masked(tiles, 16 if not FAST_ONLY else 0)
         except Exception as e:
@@ -420,7 +433,7 @@ def main():
         masked = (0.0, 0.0, -1)
 
     # Phase 3 -- nb_cap=16 static-chain headline upgrade.
-    if not FAST_ONLY and _gate("nb16 upgrade", cold_s=260):
+    if not FAST_ONLY and _gate("nb16 upgrade", "nb16", cold_s=260):
         try:
             up = bench_ours(tiles, 16)
             if up is not None:
@@ -430,7 +443,8 @@ def main():
             log(f"nb16 upgrade failed: {e!r}")
 
     foreign = None
-    if ref is not None and _gate("foreign decode", cold_s=90, margin_s=30):
+    if ref is not None and _gate("foreign decode", "foreign", cold_s=90,
+                                 margin_s=30):
         try:
             foreign = bench_foreign_decode(ref[2], tiles)
         except Exception as e:
