@@ -138,10 +138,54 @@ def time_phases(codec, tiles, rounds, chain):
 
 
 COMPILE_TIMES = {}  # family -> [host-side trace+compile seconds]
+_HIST_PATH = os.path.join(REPO, ".jax_cache", "bench_compile_hist.json")
+
+
+def _source_state():
+    """Hash of everything that keys the persistent compilation cache for
+    this bench's kernels: the package sources, the jax version, and the
+    bench shape. If a family compiled under the SAME state in an earlier
+    run, .jax_cache holds its executables and the next compile is a
+    ~seconds cache read -- knowable BEFORE the first in-process compile,
+    which is exactly what the deadline gates need after a tunnel stall
+    eats the budget (a 178 s stall once pushed headroom under the blind
+    cold estimate even though every kernel was cached)."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(os.path.join(REPO, "lerc_tpu", "**", "*.py"),
+                              recursive=True)):
+        h.update(open(p, "rb").read())
+    h.update(jax.__version__.encode())
+    h.update(f"{TILE}:{MAX_Z_ERROR}".encode())
+    return h.hexdigest()
+
+
+def load_compile_hist():
+    """Seed COMPILE_TIMES from the last run under the same source state:
+    families compiled before are cache-backed, so estimate a small fixed
+    cost for them instead of the blind cold constant."""
+    try:
+        with open(_HIST_PATH) as f:
+            hist = json.load(f)
+        if hist.get("source") == _SOURCE_STATE:
+            for fam in hist.get("families", []):
+                COMPILE_TIMES.setdefault(fam, []).append(15.0)
+            log(f"compile history: cache-backed families {hist['families']}")
+    except (OSError, ValueError):
+        pass
 
 
 def note_compile(family, seconds):
     COMPILE_TIMES.setdefault(family, []).append(seconds)
+    try:
+        os.makedirs(os.path.dirname(_HIST_PATH), exist_ok=True)
+        with open(_HIST_PATH, "w") as f:
+            json.dump({"source": _SOURCE_STATE,
+                       "families": sorted(COMPILE_TIMES)}, f)
+    except OSError:
+        pass
 
 
 def est_compile_s(family, cold_s):
@@ -401,8 +445,14 @@ def _gate(name, family, cold_s, margin_s=45.0, measure_s=30.0):
     return ok
 
 
+_SOURCE_STATE = None
+
+
 def main():
+    global _SOURCE_STATE
     total_mb = TILE * TILE * N_TILES * 4 / 1e6
+    _SOURCE_STATE = _source_state()
+    load_compile_hist()
     _require_backend()
     tiles = make_tiles()
     _fetch_watchdog(lambda: np.asarray(tiles[0, 0, 0, 0]), "first dispatch (tiles)")
