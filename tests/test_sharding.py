@@ -399,3 +399,40 @@ def test_mosaic_sharded_decode_matches_single_device():
     err = np.abs(out_sharded.astype(np.float64)
                  - data.astype(np.float64))[mask].max()
     assert err <= 0.004 * 1.4  # f32 reconstruction tolerance
+
+
+def test_mosaic_f64_softfloat():
+    """Lossy float64 mosaic (round 5): sharded double-single encode
+    (device_f64 kernels under shard_map, host-exact hi/lo split + z
+    ranges) and device-first decode (decode_band_device softfloat
+    dequant). Every tile blob must be reference-decodable; host and
+    device mosaic decodes agree within the bound; a masked variant too."""
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(21)
+    h = w = 96
+    data = rng.normal(1e7, 1e3, (h, w, 1))
+    enc = MosaicEncoder(mesh, 32, 32, np.float64, n_depth=1)
+    blob = enc.encode(data, None, 0.25)
+    out = decode_mosaic_device(blob)
+    assert out.dtype == np.float64
+    assert np.abs(out - data).max() <= 0.25 * 1.01
+
+    out_host = decode_mosaic(blob)
+    assert np.abs(out_host - data).max() <= 0.25 * 1.01
+
+    if oracle.available():
+        info, views = read_mosaic(blob)
+        for t, v in enumerate(views):
+            ref = oracle.decode(bytes(v))
+            ti, tj = divmod(t, info["grid"][1])
+            tile = data[ti * 32:(ti + 1) * 32, tj * 32:(tj + 1) * 32, 0]
+            assert np.abs(ref[0].reshape(32, 32) - tile).max() <= 0.25 * 1.01
+
+    # masked f64 mosaic + region decode
+    from lerc_tpu.parallel.sharding import decode_mosaic_region
+    mask = rng.random((h, w)) > 0.2
+    blob_m = enc.encode(data, mask, 0.25)
+    out_m = decode_mosaic_device(blob_m)
+    assert np.abs(out_m - data)[mask].max() <= 0.25 * 1.01
+    reg = decode_mosaic_region(blob_m, 10, 70, 5, 90)
+    assert np.abs(reg - data[10:70, 5:90])[mask[10:70, 5:90]].max() <= 0.25 * 1.01
