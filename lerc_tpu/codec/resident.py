@@ -338,8 +338,29 @@ class FusedResidentCodec(ResidentCodec):
             num_valid_pixel=self.num_valid, micro_block_size=8, dt=self.dt,
             max_z_error=self.mze,
         )
-        template = bytearray(hdr.write_header(head))
-        template += self._mask_section  # RLE'd bitmask (empty: all valid)
+        head_bytes = hdr.write_header(head)
+        head_len = len(head_bytes)  # 90 for v6 (always even)
+        # The RLE'd mask section is STATIC per codec and can be huge (a
+        # speckled 2048^2 mask RLEs to ~290 KB); carrying it through the
+        # per-call jit as a u8 template cost ~2 ms/call in byte-granular
+        # dynamic_update_slice copies and fletcher byte slicing (round 5).
+        # Split it out: the device program only builds the SMALL dynamic
+        # header (fixed head + ranges + flags, ~100 B), the mask section's
+        # Fletcher32 contribution folds in algebraically as two constants
+        # (device_scan.fletcher32_partials), and blob_to_bytes splices the
+        # section back for the wire. An odd trailing mask byte moves into
+        # the dynamic tail so the static piece stays word-aligned.
+        mask_sec = bytes(self._mask_section)
+        odd = len(mask_sec) % 2
+        static_even = mask_sec[: len(mask_sec) - odd]
+        carry = mask_sec[len(mask_sec) - odd:]
+        self._static_mid = static_even
+        self._static_ab = device_scan.fletcher32_partials(
+            static_even, (head_len - hdr.checksum_skip(self.version)) // 2)
+        self._static_len = len(static_even)
+
+        template = bytearray(head_bytes)
+        template += carry
         self._ranges_off = len(template)
         np_dt = DT_TO_NUMPY[self.dt]
         template += b"\x00" * (2 * self.d * DT_SIZE[self.dt])  # ranges
@@ -347,7 +368,10 @@ class FusedResidentCodec(ResidentCodec):
         if self._try_huffman:
             template += b"\x00"  # image encode mode: tiling
         self._template = np.frombuffer(bytes(template), dtype=np.uint8)
-        self._hdr_len = len(template)
+        self._hdr_small_len = len(template)
+        self._head_len = head_len
+        # full on-wire header length (blobSize arithmetic / bench sizes)
+        self._hdr_len = len(template) + len(static_even)
         self._blob_size_off = len(hdr.FILE_KEY_LERC2) + 4 + 4 + 5 * 4
         self._zmin_off = len(hdr.FILE_KEY_LERC2) + 4 + 4 + 8 * 4 + 4 + 8
         self._skip = hdr.checksum_skip(self.version)
@@ -356,6 +380,8 @@ class FusedResidentCodec(ResidentCodec):
             self.h, self.w, self.d, self.cap, self.dt, self.version, self.mze
         )
         hdr_len, skip = self._hdr_len, self._skip
+        head_len = self._head_len
+        static_ab = (self._static_ab[0], self._static_ab[1], self._static_len)
         tmpl = jnp.asarray(self._template)
         ranges_off, zmin_off, bs_off = self._ranges_off, self._zmin_off, self._blob_size_off
         n_rec = self.n_rec
@@ -404,8 +430,11 @@ class FusedResidentCodec(ResidentCodec):
                 lanes = [((rvals.astype(jnp.int32).astype(jnp.uint32) >> jnp.uint32(8 * i)) & 0xFF).astype(jnp.uint8) for i in range(width)]
                 rbytes = jnp.stack(lanes, axis=1).reshape(-1)
                 header = jax.lax.dynamic_update_slice(header, rbytes, (ranges_off,))
-            # checksum over header[skip:] || stream[:total]
-            checksum = device_scan.fletcher32_device(header[skip:], stream, total)
+            # checksum over head[skip:] || STATIC mask section (folded
+            # partials) || tail (carry+ranges+flags) || stream[:total]
+            checksum = device_scan.fletcher32_device_parts(
+                header[skip:head_len], static_ab, header[head_len:],
+                stream, total)
             header = jax.lax.dynamic_update_slice(
                 header, _u32_bytes(checksum), (skip - 4,)
             )
@@ -423,7 +452,9 @@ class FusedResidentCodec(ResidentCodec):
 
             total = (rd_u32(bs_off) - hdr_len).astype(jnp.int32)
             stored_cs = rd_u32(skip - 4)
-            computed = device_scan.fletcher32_device(header[skip:], stream, total)
+            computed = device_scan.fletcher32_device_parts(
+                header[skip:head_len], static_ab, header[head_len:],
+                stream, total)
             ok = computed == stored_cs
             nbytes = d_ * DT_SIZE[dt_]
             zmax_b = header[ranges_off + nbytes : ranges_off + 2 * nbytes]
@@ -462,7 +493,9 @@ class FusedResidentCodec(ResidentCodec):
 
             total = (rd_u32(bs_off) - hdr_len).astype(jnp.int32)
             stored_cs = rd_u32(skip - 4)
-            computed = device_scan.fletcher32_device(header[skip:], stream, total)
+            computed = device_scan.fletcher32_device_parts(
+                header[skip:head_len], static_ab, header[head_len:],
+                stream, total)
             ok = computed == stored_cs
             # zmax per depth from the ranges section
             nbytes = d_ * DT_SIZE[dt_]
@@ -512,7 +545,7 @@ class FusedResidentCodec(ResidentCodec):
         """-> (img [H, W, D] device, checksum_ok scalar bool device).
         With starts_dev (the encode-side index) the serial record scan is
         skipped entirely; without it the blob is scanned on device."""
-        if header_dev.shape[0] != self._hdr_len:
+        if header_dev.shape[0] != self._hdr_small_len:
             raise ValueError(
                 "header length does not match this codec's configuration "
                 "(different mask/shape/dtype?)"
@@ -527,5 +560,10 @@ class FusedResidentCodec(ResidentCodec):
 
     def blob_to_bytes(self, header_dev, stream_dev, meta) -> bytes:
         total = int(np.asarray(meta)[0])
-        return (np.asarray(header_dev).tobytes()
+        hb = np.asarray(header_dev).tobytes()
+        # the device header carries only the dynamic bytes; the static
+        # RLE'd mask section splices back between the fixed head and the
+        # (carry + ranges + flags) tail
+        return (hb[: self._head_len] + self._static_mid
+                + hb[self._head_len:]
                 + np.asarray(stream_dev).tobytes()[:total])
